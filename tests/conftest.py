@@ -1,0 +1,20 @@
+"""Test harness: run everything on a simulated 8-device CPU mesh.
+
+The reference has no test suite (SURVEY.md §4); this suite is the formalized
+version of its deterministic fixtures. Multi-chip sharding is validated
+without TPUs via XLA's host-platform device simulation.
+"""
+
+import os
+
+# Must be set before jax is imported anywhere. Force CPU even if the outer
+# environment points at a TPU platform — tests simulate 8 devices on host.
+os.environ['JAX_PLATFORMS'] = 'cpu'
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_default_matmul_precision', 'highest')
