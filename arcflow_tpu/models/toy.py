@@ -1,0 +1,96 @@
+"""Tiny CPU-debuggable denoisers for the 2-D toy path.
+
+The reference keeps a minimal stack (checkerboard data + small MLP via
+``Diffusion2D``, reference ``lakonlab/models/diffusion_2d.py``) as its
+CPU-runnable smoke fixture; these play that role here — and double as the
+unit-test denoisers for the flow/distillation math.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..registry import MODULES
+
+Array = jax.Array
+
+
+def timestep_embedding(t: Array, dim: int, max_period: float = 10000.0) -> Array:
+    """Standard sinusoidal embedding of (B,) timesteps -> (B, dim)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t[:, None].astype(jnp.float32) * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+@MODULES.register_module()
+class ToyMLPDenoiser(nn.Module):
+    """MLP u-predictor for low-dimensional data (B, C)."""
+
+    out_channels: int = 2
+    hidden: Sequence[int] = (256, 256, 256)
+    time_embed_dim: int = 64
+    num_timesteps: int = 1000
+
+    @nn.compact
+    def __call__(self, x_t: Array, t: Array, **kwargs) -> Array:
+        temb = timestep_embedding(t / self.num_timesteps * 1000.0,
+                                  self.time_embed_dim)
+        h = jnp.concatenate([x_t, temb], axis=-1)
+        for width in self.hidden:
+            h = nn.silu(nn.Dense(width)(h))
+        return nn.Dense(self.out_channels)(h)
+
+
+@MODULES.register_module()
+class ToyArcFlowDenoiser(nn.Module):
+    """MLP emitting ArcFlow mixture params for (B, C) data.
+
+    Output dict matches the ArcFlux head contract
+    (reference ``arcflow/arcflux.py:244-257``): means (B, K, C),
+    logweights (B, K, 1) log-softmaxed over K, loggammas (B, K-1, 1) with the
+    bias initialized to log-spaced rates in [0.2, 4.0]
+    (reference ``arcflux.py:115-132``).
+    """
+
+    out_channels: int = 2
+    num_gaussians: int = 8
+    hidden: Sequence[int] = (256, 256, 256)
+    time_embed_dim: int = 64
+    num_timesteps: int = 1000
+
+    @nn.compact
+    def __call__(self, x_t: Array, t: Array, **kwargs) -> dict:
+        k, c = self.num_gaussians, self.out_channels
+        temb = timestep_embedding(t / self.num_timesteps * 1000.0,
+                                  self.time_embed_dim)
+        h = jnp.concatenate([x_t, temb], axis=-1)
+        for width in self.hidden:
+            h = nn.silu(nn.Dense(width)(h))
+
+        def gamma_bias_init(key, shape, dtype=jnp.float32):
+            del key
+            target = jnp.logspace(math.log10(0.2), math.log10(4.0), k - 1)
+            return jnp.log(target).reshape(shape).astype(dtype)
+
+        def means_bias_init(key, shape, dtype=jnp.float32):
+            return 0.1 * jax.random.normal(key, shape, dtype)
+
+        means = nn.Dense(k * c, kernel_init=nn.initializers.zeros,
+                         bias_init=means_bias_init,
+                         name='proj_out_means')(h).reshape(-1, k, c)
+        logweights = nn.Dense(k, kernel_init=nn.initializers.zeros,
+                              name='proj_out_logweights')(h).reshape(-1, k, 1)
+        logweights = jax.nn.log_softmax(logweights, axis=1)
+        loggammas = nn.Dense(k - 1, kernel_init=nn.initializers.zeros,
+                             bias_init=gamma_bias_init,
+                             name='proj_out_loggamma')(h).reshape(-1, k - 1, 1)
+        return dict(means=means, logweights=logweights, loggammas=loggammas)

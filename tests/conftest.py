@@ -17,4 +17,8 @@ if '--xla_force_host_platform_device_count' not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU plugin via
+# jax.config.jax_platforms='axon,cpu', overriding the env var — undo that so
+# tests really run on the simulated 8-device CPU host.
+jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_default_matmul_precision', 'highest')
