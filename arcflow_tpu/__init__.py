@@ -16,6 +16,9 @@ from .registry import (MODELS, MODULES, HOOKS, DATASETS, OPTIMIZERS,
 # Importing subpackages populates the registries so that config-driven
 # construction works right after `import arcflow_tpu`.
 from . import diffusion  # noqa: E402,F401
+from . import models     # noqa: E402,F401
+from . import data       # noqa: E402,F401
+from . import runner     # noqa: E402,F401
 
 __all__ = [
     '__version__', 'Config', 'ConfigDict',

@@ -1,0 +1,5 @@
+"""High-level entry points (reference ``lakonlab/apis``)."""
+
+from .train import train_model, build_model_from_cfg, ema_config_from_cfg
+
+__all__ = ['train_model', 'build_model_from_cfg', 'ema_config_from_cfg']

@@ -1,0 +1,104 @@
+"""Config -> running training job.
+
+Equivalent capability to the reference ``lakonlab/apis/train.py``
+(``train_model``): build model/datasets/optimizers/runner from the config,
+register hooks, auto-resume from the latest checkpoint with sampler
+fast-forward, run. The reference's module-wrapper step (DDP/FSDP) becomes a
+mesh/sharding configuration of the same jitted train step (parallel/).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..registry import MODELS
+from ..data import build_dataloader, build_dataset
+from ..runner import (CheckpointHook, CheckpointManager, EmaConfig,
+                      IterBasedRunner, QuartileLossLoggerHook, TrainState,
+                      build_hooks, build_logger, build_optimizers,
+                      build_train_step, count_params)
+
+
+def build_model_from_cfg(cfg: Config):
+    return MODELS.build(cfg.model, default_args=dict(
+        train_cfg=cfg.get('train_cfg'), test_cfg=cfg.get('test_cfg')))
+
+
+def ema_config_from_cfg(cfg: Config) -> EmaConfig:
+    for hook_cfg in cfg.get('custom_hooks', []) or []:
+        if 'ExponentialMovingAverage' in hook_cfg.get('type', ''):
+            return EmaConfig.from_hook_cfg(hook_cfg)
+    return EmaConfig(enabled=True, momentum_policy='fixed', momentum=0.999)
+
+
+def train_model(cfg: Config, work_dir: Optional[str] = None,
+                resume: bool = True, seed: int = 0, max_iters: Optional[int] = None):
+    work_dir = work_dir or cfg.get('work_dir', 'work_dirs/default')
+    os.makedirs(work_dir, exist_ok=True)
+    logger = build_logger(work_dir)
+    cfg.dump(os.path.join(work_dir, 'config.py'))
+
+    model = build_model_from_cfg(cfg)
+
+    rng = jax.random.PRNGKey(seed)
+    rng, rng_init = jax.random.split(rng)
+    trainable, frozen = model.init_params(rng_init)
+    logger.info(f'trainable params: {count_params(trainable):,}; '
+                f'frozen params: {count_params(frozen):,}')
+
+    optimizers = build_optimizers(dict(cfg.optimizer), trainable)
+    state = TrainState.create(rng, trainable, frozen, optimizers,
+                              ema_keys=model.ema_keys)
+
+    ckpt_cfg = dict(cfg.get('checkpoint_config', {}) or {})
+    out_dir = ckpt_cfg.pop('out_dir', os.path.join(work_dir, 'checkpoints'))
+    name = cfg.get('name', 'default')
+    manager = CheckpointManager(
+        os.path.join(out_dir, name),
+        interval=ckpt_cfg.get('interval', 1000),
+        must_save_interval=ckpt_cfg.get('must_save_interval'),
+        max_keep_ckpts=ckpt_cfg.get('max_keep_ckpts'),
+        ckpt_trainable_only=ckpt_cfg.get('trainable_only', True),
+        ckpt_fp16=ckpt_cfg.get('fp16', False),
+        ckpt_bf16_optim=ckpt_cfg.get('bf16_optim', False))
+
+    if resume and manager.latest_step() is not None:
+        state = manager.restore(state)
+        logger.info(f'resumed from iter {int(state.step)}')
+
+    train_cfg = dict(cfg.get('train_cfg', {}) or {})
+    data_cfg = dict(cfg.data)
+    samples_per_gpu = (data_cfg.get('train_dataloader', {}) or {}).get(
+        'samples_per_gpu', data_cfg.get('samples_per_gpu', 1))
+    grad_accum_bs = train_cfg.get('grad_accum_batch_size')
+    grad_accum_steps = 1
+    if grad_accum_bs:
+        assert samples_per_gpu % grad_accum_bs == 0
+        grad_accum_steps = samples_per_gpu // grad_accum_bs
+
+    train_step = build_train_step(
+        model, optimizers, train_cfg=train_cfg,
+        ema_cfg=ema_config_from_cfg(cfg) if model.ema_keys else None,
+        grad_accum_steps=grad_accum_steps)
+
+    dataset = build_dataset(data_cfg['train'])
+    loader = build_dataloader(dataset, samples_per_gpu, seed=seed,
+                              start_iter=int(state.step))
+
+    hooks = build_hooks(cfg.get('log_config'),
+                        extra_hooks=[QuartileLossLoggerHook(
+                            total_timesteps=cfg.model.diffusion.get(
+                                'num_timesteps', 1000)),
+                            CheckpointHook(manager)])
+
+    total = max_iters or cfg.get('total_iters', 10000)
+    runner = IterBasedRunner(model, state, train_step, loader, total,
+                             work_dir=work_dir, hooks=hooks, logger=logger)
+    state = runner.run()
+    manager.close()
+    return state, model

@@ -1,0 +1,171 @@
+"""Runner hooks: logging, checkpointing, host-side metric aggregation.
+
+Equivalent capability to the reference hook stack
+(``lakonlab/runner/hooks``: TextLogger with iter time/ETA, CheckpointHook
+with async saves + pruning, loss-vs-timestep quartile EMA logging in
+``losses/diffusion_loss.py:136-167``). Device-side state stays functional;
+hooks only consume the log dict the jitted step returns.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..registry import HOOKS
+
+
+class Hook:
+    priority = 50
+
+    def before_run(self, runner):
+        pass
+
+    def after_train_iter(self, runner):
+        pass
+
+    def after_run(self, runner):
+        pass
+
+
+@HOOKS.register_module()
+class TextLoggerHook(Hook):
+    """Periodic console/file logging with smoothed iter time and ETA."""
+
+    def __init__(self, interval: int = 50, by_epoch: bool = False):
+        self.interval = interval
+        self._t_last = None
+        self._iter_times = []
+
+    def before_run(self, runner):
+        self._t_last = time.perf_counter()
+
+    def after_train_iter(self, runner):
+        now = time.perf_counter()
+        self._iter_times.append(now - self._t_last)
+        self._t_last = now
+        if len(self._iter_times) > 200:
+            self._iter_times = self._iter_times[-100:]
+        if runner.iter % self.interval != 0:
+            return
+        t_avg = float(np.mean(self._iter_times[-self.interval:]))
+        eta = t_avg * (runner.total_iters - runner.iter)
+        scalars = {k: float(v) for k, v in runner.log_buffer.items()
+                   if np.ndim(v) == 0}
+        msg = ', '.join(f'{k}: {v:.4g}' for k, v in sorted(scalars.items()))
+        runner.logger.info(
+            f'iter [{runner.iter}/{runner.total_iters}] '
+            f'time: {t_avg:.3f}s, eta: {eta / 60:.1f}min, {msg}')
+
+
+@HOOKS.register_module()
+class JsonLoggerHook(Hook):
+    """Append per-interval scalar logs to work_dir/metrics.jsonl
+    (the tensorboard/wandb slot of the reference's log_config)."""
+
+    def __init__(self, interval: int = 50):
+        self.interval = interval
+        self._fh = None
+
+    def before_run(self, runner):
+        path = os.path.join(runner.work_dir, 'metrics.jsonl')
+        os.makedirs(runner.work_dir, exist_ok=True)
+        self._fh = open(path, 'a', encoding='utf-8')
+
+    def after_train_iter(self, runner):
+        if runner.iter % self.interval != 0 or self._fh is None:
+            return
+        rec = {'iter': runner.iter}
+        rec.update({k: float(v) for k, v in runner.log_buffer.items()
+                    if np.ndim(v) == 0})
+        self._fh.write(json.dumps(rec) + '\n')
+        self._fh.flush()
+
+    def after_run(self, runner):
+        if self._fh is not None:
+            self._fh.close()
+
+
+@HOOKS.register_module()
+class QuartileLossLoggerHook(Hook):
+    """EMA of per-sample loss/var grouped by timestep quartile.
+
+    Host-side equivalent of the reference's in-loss quartile logging
+    (``diffusion_loss.py:136-167``): EMA weight ``1 - exp(-momentum * count)``
+    per quartile. Reads 'per_sample_loss' / 'per_sample_var' / 'timesteps'
+    from the step log dict.
+    """
+
+    def __init__(self, total_timesteps: int = 1000, momentum: float = 0.1,
+                 prefix: str = 'loss'):
+        self.total_timesteps = total_timesteps
+        self.momentum = momentum
+        self.prefix = prefix
+        self.loss_q = np.zeros(4)
+        self.var_q = np.ones(4)
+        self.count_q = np.zeros(4, np.int64)
+
+    def after_train_iter(self, runner):
+        logs = runner.log_buffer
+        if 'per_sample_loss' not in logs or 'timesteps' not in logs:
+            return
+        loss = np.asarray(logs['per_sample_loss']).reshape(-1)
+        t = np.asarray(logs['timesteps']).reshape(-1)
+        if loss.shape[0] != t.shape[0]:
+            return
+        var = np.asarray(logs.get('per_sample_var', np.ones_like(loss))).reshape(-1)
+        quart = np.clip((t / self.total_timesteps * 4).astype(int), 0, 3)
+        for q in range(4):
+            mask = quart == q
+            n = int(mask.sum())
+            if n == 0:
+                continue
+            cur_w = 1 - np.exp(-self.momentum * n)
+            self.count_q[q] += n
+            total_w = max(1 - np.exp(-self.momentum * self.count_q[q]), 1e-4)
+            w = cur_w / total_w
+            self.loss_q[q] = self.loss_q[q] * (1 - w) + loss[mask].mean() * w
+            self.var_q[q] = self.var_q[q] * (1 - w) + var[mask].mean() * w
+            runner.log_buffer[f'{self.prefix}_quartile_{q}'] = self.loss_q[q]
+
+
+@HOOKS.register_module()
+class CheckpointHook(Hook):
+    """Drives the CheckpointManager on its interval; final forced save."""
+
+    priority = 40
+
+    def __init__(self, manager=None):
+        self.manager = manager
+
+    def after_train_iter(self, runner):
+        if self.manager is not None:
+            self.manager.save(runner.state)
+
+    def after_run(self, runner):
+        if self.manager is not None:
+            self.manager.save(runner.state, force=True)
+            self.manager.wait()
+
+
+def build_logger(work_dir: str, name: str = 'arcflow_tpu') -> logging.Logger:
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.INFO)
+    logger.propagate = False
+    if not logger.handlers:
+        fmt = logging.Formatter('%(asctime)s %(levelname)s %(message)s')
+        sh = logging.StreamHandler()
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
+        if work_dir:
+            os.makedirs(work_dir, exist_ok=True)
+            fh = logging.FileHandler(os.path.join(
+                work_dir, f'{time.strftime("%Y%m%d_%H%M%S")}.log'))
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
+    return logger

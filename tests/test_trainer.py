@@ -1,0 +1,133 @@
+"""Trainer mechanics: optimizer builder, clip/skip, EMA, train-step compiler."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from arcflow_tpu.runner import (EmaConfig, GradClipConfig, TrainState,
+                                build_single_optimizer, build_train_step,
+                                clip_and_skip, ema_momentum, ema_update)
+
+
+def test_paramwise_lr_mult():
+    params = {'backbone': {'kernel': jnp.ones((4, 4))},
+              'proj_out_loggamma': {'kernel': jnp.ones((4, 4))}}
+    tx = build_single_optimizer(
+        dict(type='SGD', lr=1.0,
+             paramwise_cfg=dict(custom_keys={'proj_out_loggamma':
+                                             dict(lr_mult=0.1)})), params)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    np.testing.assert_allclose(np.asarray(updates['backbone']['kernel'])[0, 0],
+                               -1.0, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(updates['proj_out_loggamma']['kernel'])[0, 0], -0.1,
+        rtol=1e-6)
+
+
+def test_clip_and_skip_behavior():
+    cfg = GradClipConfig(max_norm=1.0, begin_iter=10, skip_ratio=2.0)
+    big = {'w': jnp.full((4,), 100.0)}
+
+    # before begin_iter: no clipping, no ratio-skip
+    g, norm, skip = clip_and_skip(big, jnp.asarray(5), cfg)
+    assert not bool(skip)
+    np.testing.assert_allclose(np.asarray(g['w']), 100.0)
+
+    # after begin_iter: clipped to max_norm, skip because norm > 1 * 2
+    g, norm, skip = clip_and_skip(big, jnp.asarray(50), cfg)
+    assert bool(skip)
+    np.testing.assert_allclose(float(optax.global_norm(g)), 1.0, rtol=1e-5)
+
+    # NaN always skips, grads sanitized
+    nan_g = {'w': jnp.array([jnp.nan, 1.0, 1.0, 1.0])}
+    g, norm, skip = clip_and_skip(nan_g, jnp.asarray(50), cfg)
+    assert bool(skip)
+    assert bool(jnp.isfinite(g['w']).all())
+
+
+def test_karras_ema_momentum():
+    cfg = EmaConfig(momentum_policy='karras', gamma=7.0, start_iter=0)
+    # t=1 -> beta=0; large t -> beta -> 1
+    assert float(ema_momentum(cfg, jnp.asarray(0))) == 0.0
+    b1000 = float(ema_momentum(cfg, jnp.asarray(999)))
+    assert 0.99 < b1000 < 1.0
+    np.testing.assert_allclose(b1000, (1 - 1 / 1000) ** 8, rtol=1e-6)
+
+
+def test_ema_copy_through_before_start():
+    cfg = EmaConfig(momentum_policy='karras', gamma=7.0, start_iter=100)
+    ema = {'w': jnp.zeros(3)}
+    params = {'w': jnp.ones(3)}
+    out = ema_update(cfg, ema, params, jnp.asarray(5))
+    np.testing.assert_allclose(np.asarray(out['w']), 1.0)   # copied
+    out2 = ema_update(cfg, ema, params, jnp.asarray(150))
+    assert 0.0 < float(out2['w'][0]) < 1.0                  # lerped
+
+
+class QuadraticModel:
+    """Minimal model: loss = ||w - target||^2; one submodule 'net'."""
+
+    def loss(self, trainable, frozen, rng, batch, running_status=None):
+        w = trainable['net']['w']
+        per_sample = jnp.square(w - batch['target']).sum(-1)
+        return per_sample.mean(), dict(per_sample_loss=per_sample)
+
+
+def make_state_and_step(grad_accum_steps=1, **train_cfg):
+    model = QuadraticModel()
+    trainable = {'net': {'w': jnp.zeros(2)}}
+    optimizers = {'net': optax.sgd(0.1)}
+    state = TrainState.create(jax.random.PRNGKey(0), trainable, {},
+                              optimizers, ema_keys=('net',))
+    step = build_train_step(model, optimizers, train_cfg=train_cfg,
+                            ema_cfg=EmaConfig(momentum_policy='fixed',
+                                              momentum=0.5),
+                            grad_accum_steps=grad_accum_steps, donate=False)
+    return state, step
+
+
+def test_train_step_descends_and_counts():
+    state, step = make_state_and_step()
+    batch = {'target': jnp.ones((4, 2))}
+    for _ in range(20):
+        state, logs = step(state, batch)
+    assert int(state.step) == 20
+    np.testing.assert_allclose(np.asarray(state.trainable['net']['w']),
+                               np.ones(2), atol=3e-2)
+    assert float(logs['loss']) < 1e-2
+    # EMA trails the params
+    assert 0.9 < float(state.ema['net']['w'][0]) <= 1.0
+
+
+def test_train_step_grad_accum_equivalence():
+    state1, step1 = make_state_and_step(grad_accum_steps=1)
+    state4, step4 = make_state_and_step(grad_accum_steps=4)
+    batch = {'target': jnp.ones((8, 2))}
+    s1, logs1 = step1(state1, batch)
+    s4, logs4 = step4(state4, batch)
+    # loss is batch-size independent here; grads averaged over chunks match
+    np.testing.assert_allclose(np.asarray(s1.trainable['net']['w']),
+                               np.asarray(s4.trainable['net']['w']), rtol=1e-5)
+
+
+def test_train_step_skips_on_nan():
+    class NaNModel:
+        def loss(self, trainable, frozen, rng, batch, running_status=None):
+            w = trainable['net']['w']
+            # NaN loss -> NaN grads
+            return (w.sum() * jnp.nan), {}
+
+    model = NaNModel()
+    trainable = {'net': {'w': jnp.ones(2)}}
+    optimizers = {'net': optax.sgd(0.1)}
+    state = TrainState.create(jax.random.PRNGKey(0), trainable, {}, optimizers)
+    step = build_train_step(model, optimizers, train_cfg={}, donate=False)
+    new_state, logs = step(state, {'target': jnp.ones((2, 2))})
+    # params unchanged, step still advances, skip flagged
+    np.testing.assert_allclose(np.asarray(new_state.trainable['net']['w']), 1.0)
+    assert float(logs['net_skipped']) == 1.0
+    assert int(new_state.step) == 1
