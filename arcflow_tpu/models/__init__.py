@@ -2,6 +2,12 @@
 
 from .toy import ToyMLPDenoiser, ToyArcFlowDenoiser, timestep_embedding
 from .base import BaseModel, Diffusion2D, Distillation2D
+from .flux import (ArcFluxTransformer2DModel, FluxTransformer2DModel,
+                   ARCFLUX_ADAPTER_KEYS, patchify, unpatchify)
+from .latent_diffusion import LatentDiffusionTextImage
 
 __all__ = ['ToyMLPDenoiser', 'ToyArcFlowDenoiser', 'timestep_embedding',
-           'BaseModel', 'Diffusion2D', 'Distillation2D']
+           'BaseModel', 'Diffusion2D', 'Distillation2D',
+           'ArcFluxTransformer2DModel', 'FluxTransformer2DModel',
+           'ARCFLUX_ADAPTER_KEYS', 'patchify', 'unpatchify',
+           'LatentDiffusionTextImage']

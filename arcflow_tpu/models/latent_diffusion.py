@@ -1,0 +1,199 @@
+"""Latent text-to-image distillation composition (FLUX/Qwen-scale wiring).
+
+Equivalent capability to the reference ``LatentDiffusionTextImage``
+(``lakonlab/models/latent_diffusion_text_image.py``) + ``BaseDiffusion``
+(``base_diffusion.py:73-113``): prompt embeds (cached or text-encoder
+on-the-fly), latents (cached or VAE-encoded), distilled-guidance vectors,
+teacher CFG with negative-embed concat — and the teacher/student/EMA weight
+economy:
+
+  * ``frozen['base']``     — the shared DiT trunk (one copy in HBM),
+  * ``frozen['teacher_head']`` — the teacher's original proj_out,
+  * ``trainable['diffusion']`` — the ArcFlow adapter (3 heads + norm_out +
+    LoRA; <5% of params, reference README.md:29),
+  * student params = overlay(base, adapter); teacher params =
+    overlay(base, teacher_head).
+
+The reference achieves this sharing with FSDP unshard-hook surgery
+(``tie_fsdp_modules``, fsdp_wrapper.py:123-163); here it is a dict overlay of
+array references — zero copies by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..registry import MODELS, build_module
+from ..diffusion.arcflow import multistep_train_loss
+from ..utils.pytree import drop_params, merge_params, partition_params
+from .base import BaseModel
+from .flux import ARCFLUX_ADAPTER_KEYS
+
+Array = jax.Array
+
+
+@MODELS.register_module()
+class LatentDiffusionTextImage(BaseModel):
+
+    def __init__(self, diffusion: dict, teacher: Optional[dict] = None,
+                 vae: Optional[dict] = None, text_encoder: Optional[dict] = None,
+                 diffusion_use_ema: bool = True, tie_teacher: bool = True,
+                 freeze_exclude: Tuple[str, ...] = ARCFLUX_ADAPTER_KEYS,
+                 teacher_head_keys: Tuple[str, ...] = ('proj_out', 'norm_out'),
+                 latent_shape: Tuple[int, int, int] = (64, 64, 16),
+                 text_embed_dim: int = 4096, pooled_dim: int = 768,
+                 max_text_len: int = 512,
+                 train_cfg=None, test_cfg=None):
+        super().__init__(train_cfg, test_cfg)
+        self.diffusion = build_module(
+            diffusion, default_args=dict(train_cfg=self.train_cfg,
+                                         test_cfg=self.test_cfg))
+        self.teacher = build_module(teacher) if teacher else None
+        self.vae = build_module(vae) if vae else None
+        self.text_encoder = build_module(text_encoder) if text_encoder else None
+        self.diffusion_use_ema = diffusion_use_ema
+        self.tie_teacher = tie_teacher
+        self.freeze_exclude = tuple(freeze_exclude)
+        self.teacher_head_keys = tuple(teacher_head_keys)
+        self.latent_shape = tuple(latent_shape)
+        self.text_embed_dim = text_embed_dim
+        self.pooled_dim = pooled_dim
+        self.max_text_len = max_text_len
+
+    @property
+    def ema_keys(self):
+        return ('diffusion',) if self.diffusion_use_ema else ()
+
+    # ---- params -----------------------------------------------------------
+    def _dummy_inputs(self):
+        h, w, c = self.latent_shape
+        return dict(
+            hidden_states=jnp.zeros((1, h, w, c)),
+            t=jnp.zeros((1,)),
+            encoder_hidden_states=jnp.zeros((1, 8, self.text_embed_dim)),
+            pooled_projections=jnp.zeros((1, self.pooled_dim)),
+            guidance=jnp.zeros((1,)) if getattr(
+                self.diffusion.denoising, 'guidance_embeds', False) else None)
+
+    def init_params(self, rng):
+        rng_s, rng_t = jax.random.split(rng)
+        dummy = {k: v for k, v in self._dummy_inputs().items() if v is not None}
+        student_full = self.diffusion.denoising.init(rng_s, **dummy)['params']
+        adapter, base = partition_params(student_full, self.freeze_exclude)
+
+        frozen: Dict[str, Any] = {'base': base}
+        if self.teacher is not None:
+            teacher_full = self.teacher.denoising.init(rng_t, **dummy)['params']
+            if self.tie_teacher:
+                # keep only the teacher-specific top-level head; the trunk
+                # (incl. single_blocks.proj_out) comes from the shared base
+                head, _ = partition_params(teacher_full, self.teacher_head_keys,
+                                           exact_prefix=True)
+                frozen['teacher_head'] = head
+            else:
+                frozen['teacher_full'] = teacher_full
+        return {'diffusion': adapter}, frozen
+
+    def student_params(self, trainable, frozen):
+        return merge_params(frozen['base'], trainable['diffusion'])
+
+    def teacher_params(self, frozen):
+        if 'teacher_full' in frozen:
+            return frozen['teacher_full']
+        # note: single-block 'proj_out' layers exist in base too; the teacher
+        # head partition keeps both — overlay order makes teacher head win
+        return merge_params(frozen['base'], frozen.get('teacher_head', {}))
+
+    # ---- batch plumbing ------------------------------------------------------
+    def _prompt_embeds(self, batch: Dict[str, Any], negative: bool = False
+                       ) -> Dict[str, Array]:
+        prefix = 'negative_' if negative else ''
+        if f'{prefix}prompt_embed_kwargs' in batch:
+            return dict(batch[f'{prefix}prompt_embed_kwargs'])
+        if f'{prefix}prompt_kwargs' in batch:
+            assert self.text_encoder is not None, \
+                'text_encoder required to embed raw prompts'
+            return self.text_encoder(**batch[f'{prefix}prompt_kwargs'])
+        raise ValueError(
+            f'batch needs {prefix}prompt_embed_kwargs or {prefix}prompt_kwargs')
+
+    def _latents(self, batch: Dict[str, Any], frozen) -> Array:
+        if 'latents' in batch:
+            return jnp.asarray(batch['latents'])
+        if 'images' in batch:
+            assert self.vae is not None, 'vae required to encode images'
+            return self.vae.encode(frozen.get('vae'),
+                                   jnp.asarray(batch['images']) * 2 - 1)
+        raise ValueError('batch needs latents or images')
+
+    def _teacher_fn(self, frozen, batch, bs: int):
+        """Closure querying the frozen teacher's u with CFG + distilled
+        guidance (reference ``_prepare_train_minibatch_teacher_args``)."""
+        t_params = jax.lax.stop_gradient(self.teacher_params(frozen))
+        gs = self.train_cfg.get('teacher_guidance_scale', None)
+        use_cfg = gs is not None and gs not in (0.0, 1.0)
+        pos = self._prompt_embeds(batch)
+        if use_cfg:
+            neg = self._prompt_embeds(batch, negative=True)
+            kwargs = {k: jnp.concatenate([neg[k], v], axis=0)
+                      for k, v in pos.items()}
+        else:
+            gs = 1.0
+            kwargs = dict(pos)
+        tdg = self.train_cfg.get('teacher_distilled_guidance_scale', None)
+        if tdg is not None:
+            n = bs * 2 if use_cfg else bs
+            kwargs['guidance'] = jnp.full((n,), tdg, jnp.float32)
+
+        def fn(x_t, t):
+            return self.teacher.forward_u(t_params, x_t, t,
+                                          guidance_scale=gs, **kwargs)
+        return fn
+
+    # ---- training -------------------------------------------------------------
+    def loss(self, trainable, frozen, rng, batch, running_status=None):
+        latents = self._latents(batch, frozen)
+        bs = latents.shape[0]
+        diffusion_kwargs = self._prompt_embeds(batch)
+        dgs = self.train_cfg.get('distilled_guidance_scale', None)
+        if dgs is not None:
+            diffusion_kwargs['guidance'] = jnp.full((bs,), dgs, jnp.float32)
+
+        teacher_fn = self._teacher_fn(frozen, batch, bs) \
+            if self.teacher is not None else None
+
+        params = self.student_params(trainable, frozen)
+        return multistep_train_loss(
+            self.diffusion, params, rng, latents, teacher_fn=teacher_fn,
+            running_status=running_status, **diffusion_kwargs)
+
+    # ---- evaluation --------------------------------------------------------------
+    def val_step(self, state, rng, batch, use_ema=True,
+                 test_cfg_override=None, **kwargs):
+        cfg = dict(self.test_cfg)
+        cfg.update(test_cfg_override or {})
+        adapter = state.params_for_eval('diffusion', prefer_ema=use_ema)
+        params = self.student_params({'diffusion': adapter}, state.frozen)
+
+        embeds = self._prompt_embeds(batch)
+        bs = next(iter(embeds.values())).shape[0]
+        dgs = cfg.get('distilled_guidance_scale', None)
+        if dgs is not None:
+            embeds['guidance'] = jnp.full((bs,), dgs, jnp.float32)
+
+        noise = batch.get('noise')
+        if noise is None:
+            h, w, c = cfg.get('latent_size', self.latent_shape)
+            noise = jax.random.normal(rng, (bs, h, w, c))
+        latents_out = self.diffusion.forward_test(
+            params, rng, jnp.asarray(noise),
+            test_cfg_override=test_cfg_override, **embeds)
+        if self.vae is not None:
+            imgs = self.vae.decode(state.frozen.get('vae'), latents_out)
+            return dict(num_samples=bs,
+                        pred_imgs=jnp.clip(imgs / 2 + 0.5, 0.0, 1.0))
+        return dict(num_samples=bs, pred_latents=latents_out)

@@ -1,0 +1,296 @@
+"""Shared DiT building blocks (flax.linen), TPU-first.
+
+Behavioral equivalents of the diffusers layers the reference composes
+(FluxTransformerBlock internals: AdaLayerNormZero/-Single/-Continuous,
+per-head RMSNorm on q/k, rotary embeddings, gelu-tanh FeedForward; see
+reference ``lakonlab/models/architecture/arcflow/arcflux.py:42-90`` for the
+composition). Design notes:
+
+  * compute dtype is a module field (default bfloat16) with fp32 parameter
+    storage — the linen-native version of the reference's autocast policy;
+  * attention runs through ``jax.nn.dot_product_attention`` (XLA fuses it;
+    a Pallas flash-attention path can swap in underneath without touching
+    callers);
+  * LoRA is a Dense wrapper whose low-rank leaves live under ``lora_a/b`` so
+    the framework's partition-by-substring ('lora') splits adapters from the
+    frozen base (reference: peft adapters + flex_freeze exclude 'lora').
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+Dtype = Any
+
+
+def timestep_sinusoidal(t: Array, dim: int, max_period: float = 10000.0,
+                        scale: float = 1.0, flip_sin_to_cos: bool = True) -> Array:
+    """Sinusoidal timestep features, diffusers-compatible ordering."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+                    / half)
+    args = scale * t.astype(jnp.float32)[:, None] * freqs[None]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    return emb
+
+
+class LoRADense(nn.Module):
+    """Dense with optional low-rank adapter: y = x W + b + (alpha/r) (x A) B.
+
+    With ``lora_rank=0`` this is a plain Dense. The base kernel/bias stay in
+    ``param_dtype``; lora leaves are fp32 (they are the trainable adapter).
+    """
+
+    features: int
+    use_bias: bool = True
+    lora_rank: int = 0
+    lora_alpha: Optional[float] = None   # defaults to rank (scale 1)
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_features = x.shape[-1]
+        kernel = self.param('kernel', self.kernel_init,
+                            (in_features, self.features), self.param_dtype)
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param('bias', self.bias_init,
+                              (self.features,), self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        if self.lora_rank > 0:
+            # gaussian init on A (peft init_lora_weights='gaussian'), zeros on B
+            a = self.param('lora_a',
+                           nn.initializers.normal(1.0 / self.lora_rank),
+                           (in_features, self.lora_rank), jnp.float32)
+            b = self.param('lora_b', nn.initializers.zeros,
+                           (self.lora_rank, self.features), jnp.float32)
+            scale = (self.lora_alpha or self.lora_rank) / self.lora_rank
+            y = y + (jnp.dot(jnp.dot(x.astype(self.dtype), a.astype(self.dtype)),
+                             b.astype(self.dtype)) * scale)
+        return y
+
+
+class RMSNorm(nn.Module):
+    """RMS norm over the last dim (used per-head on q/k in FLUX attention)."""
+
+    dim: int
+    eps: float = 1e-6
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        scale = self.param('scale', nn.initializers.ones, (self.dim,),
+                           jnp.float32)
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        out = x32 * jax.lax.rsqrt(var + self.eps) * scale
+        return out.astype(self.dtype)
+
+
+def layer_norm_no_affine(x: Array, eps: float = 1e-6) -> Array:
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+class AdaLayerNormZero(nn.Module):
+    """LN (no affine) + 6-way modulation from temb (shift/scale/gate x2)."""
+
+    dim: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, temb: Array):
+        mod = LoRADense(6 * self.dim, dtype=self.dtype,
+                        kernel_init=nn.initializers.zeros,
+                        name='modulation')(nn.silu(temb))
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = \
+            jnp.split(mod[:, None], 6, axis=-1)
+        h = layer_norm_no_affine(x) * (1 + scale_msa) + shift_msa
+        return h, gate_msa, shift_mlp, scale_mlp, gate_mlp
+
+
+class AdaLayerNormZeroSingle(nn.Module):
+    """LN (no affine) + 3-way modulation (shift/scale/gate)."""
+
+    dim: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, temb: Array):
+        mod = LoRADense(3 * self.dim, dtype=self.dtype,
+                        kernel_init=nn.initializers.zeros,
+                        name='modulation')(nn.silu(temb))
+        shift, scale, gate = jnp.split(mod[:, None], 3, axis=-1)
+        h = layer_norm_no_affine(x) * (1 + scale) + shift
+        return h, gate
+
+
+class AdaLayerNormContinuous(nn.Module):
+    """Final LN with shift/scale from temb (reference norm_out)."""
+
+    dim: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, temb: Array) -> Array:
+        mod = LoRADense(2 * self.dim, dtype=self.dtype,
+                        kernel_init=nn.initializers.zeros,
+                        name='modulation')(nn.silu(temb))
+        scale, shift = jnp.split(mod[:, None], 2, axis=-1)
+        return layer_norm_no_affine(x) * (1 + scale) + shift
+
+
+class FeedForward(nn.Module):
+    """gelu(tanh) MLP, dim -> mult*dim -> dim (diffusers FeedForward)."""
+
+    dim: int
+    mult: int = 4
+    lora_rank: int = 0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = LoRADense(self.dim * self.mult, lora_rank=self.lora_rank,
+                      dtype=self.dtype, name='in_proj')(x)
+        h = nn.gelu(h, approximate=True)
+        return LoRADense(self.dim, lora_rank=self.lora_rank, dtype=self.dtype,
+                         name='out_proj')(h)
+
+
+# ---- rotary embeddings -------------------------------------------------------
+
+def rope_frequencies(ids: Array, axes_dim: Sequence[int], theta: float = 10000.0
+                     ) -> Tuple[Array, Array]:
+    """Multi-axis rotary cos/sin for position ids.
+
+    Args:
+        ids: (S, len(axes_dim)) per-token positions along each axis.
+        axes_dim: per-axis rotary sub-dims, summing to head_dim
+            (FLUX: (16, 56, 56) -> 128).
+
+    Returns:
+        cos, sin of shape (S, head_dim) in the pair-interleaved layout
+        (each frequency value repeated twice) matching diffusers'
+        ``repeat_interleave_real``.
+    """
+    coss, sins = [], []
+    for i, d in enumerate(axes_dim):
+        half = d // 2
+        freqs = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32) * 2 / d))
+        angles = ids[:, i:i + 1].astype(jnp.float32) * freqs[None]   # (S, half)
+        coss.append(jnp.repeat(jnp.cos(angles), 2, axis=-1))
+        sins.append(jnp.repeat(jnp.sin(angles), 2, axis=-1))
+    return jnp.concatenate(coss, axis=-1), jnp.concatenate(sins, axis=-1)
+
+
+def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
+    """Pairwise rotation in interleaved layout: x shape (..., S, D)."""
+    x32 = x.astype(jnp.float32)
+    x_pairs = x32.reshape(*x32.shape[:-1], -1, 2)
+    x_rot = jnp.stack([-x_pairs[..., 1], x_pairs[..., 0]], axis=-1)
+    x_rot = x_rot.reshape(x32.shape)
+    return (x32 * cos + x_rot * sin).astype(x.dtype)
+
+
+# ---- attention -----------------------------------------------------------------
+
+def attention(q: Array, k: Array, v: Array,
+              mask: Optional[Array] = None) -> Array:
+    """Scaled dot-product attention on (B, S, H, D) tensors.
+
+    Wraps jax.nn.dot_product_attention (XLA-fused; swaps for a Pallas flash
+    kernel under the same signature). Softmax accumulates in fp32.
+    """
+    return jax.nn.dot_product_attention(q, k, v, mask=mask)
+
+
+class JointAttention(nn.Module):
+    """FLUX dual-stream joint attention: separate qkv per stream, per-head
+    q/k RMSNorm, RoPE over the concatenated [txt, img] sequence."""
+
+    dim: int
+    num_heads: int
+    head_dim: int
+    lora_rank: int = 0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, img: Array, txt: Array, rope: Tuple[Array, Array]
+                 ) -> Tuple[Array, Array]:
+        b, s_img, _ = img.shape
+        s_txt = txt.shape[1]
+        inner = self.num_heads * self.head_dim
+
+        def qkv(x, prefix):
+            q = LoRADense(inner, lora_rank=self.lora_rank, dtype=self.dtype,
+                          name=f'{prefix}_q')(x)
+            k = LoRADense(inner, lora_rank=self.lora_rank, dtype=self.dtype,
+                          name=f'{prefix}_k')(x)
+            v = LoRADense(inner, lora_rank=self.lora_rank, dtype=self.dtype,
+                          name=f'{prefix}_v')(x)
+            shape = (b, x.shape[1], self.num_heads, self.head_dim)
+            return q.reshape(shape), k.reshape(shape), v.reshape(shape)
+
+        q_i, k_i, v_i = qkv(img, 'img')
+        q_t, k_t, v_t = qkv(txt, 'txt')
+        q_i = RMSNorm(self.head_dim, dtype=self.dtype, name='img_q_norm')(q_i)
+        k_i = RMSNorm(self.head_dim, dtype=self.dtype, name='img_k_norm')(k_i)
+        q_t = RMSNorm(self.head_dim, dtype=self.dtype, name='txt_q_norm')(q_t)
+        k_t = RMSNorm(self.head_dim, dtype=self.dtype, name='txt_k_norm')(k_t)
+
+        # joint sequence: [txt, img]
+        q = jnp.concatenate([q_t, q_i], axis=1)
+        k = jnp.concatenate([k_t, k_i], axis=1)
+        v = jnp.concatenate([v_t, v_i], axis=1)
+        cos, sin = rope
+        q = apply_rope(q, cos[None, :, None, :], sin[None, :, None, :])
+        k = apply_rope(k, cos[None, :, None, :], sin[None, :, None, :])
+
+        out = attention(q, k, v).reshape(b, s_txt + s_img, inner)
+        txt_out, img_out = out[:, :s_txt], out[:, s_txt:]
+        img_out = LoRADense(self.dim, lora_rank=self.lora_rank,
+                            dtype=self.dtype, name='img_out')(img_out)
+        txt_out = LoRADense(self.dim, lora_rank=self.lora_rank,
+                            dtype=self.dtype, name='txt_out')(txt_out)
+        return img_out, txt_out
+
+
+class SingleStreamAttention(nn.Module):
+    """Attention half of the FLUX single block (no output projection —
+    the block fuses attn+mlp through one proj_out)."""
+
+    dim: int
+    num_heads: int
+    head_dim: int
+    lora_rank: int = 0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, rope: Tuple[Array, Array]) -> Array:
+        b, s, _ = x.shape
+        inner = self.num_heads * self.head_dim
+        shape = (b, s, self.num_heads, self.head_dim)
+        q = LoRADense(inner, lora_rank=self.lora_rank, dtype=self.dtype,
+                      name='q')(x).reshape(shape)
+        k = LoRADense(inner, lora_rank=self.lora_rank, dtype=self.dtype,
+                      name='k')(x).reshape(shape)
+        v = LoRADense(inner, lora_rank=self.lora_rank, dtype=self.dtype,
+                      name='v')(x).reshape(shape)
+        q = RMSNorm(self.head_dim, dtype=self.dtype, name='q_norm')(q)
+        k = RMSNorm(self.head_dim, dtype=self.dtype, name='k_norm')(k)
+        cos, sin = rope
+        q = apply_rope(q, cos[None, :, None, :], sin[None, :, None, :])
+        k = apply_rope(k, cos[None, :, None, :], sin[None, :, None, :])
+        return attention(q, k, v).reshape(b, s, inner)

@@ -1,0 +1,9 @@
+"""Mesh parallelism (data/fsdp/tensor axes over ICI/DCN)."""
+
+from .mesh import (make_mesh, fsdp_shard_params, fsdp_spec_for,
+                   param_spec_for, shard_state, shard_batch, batch_sharding,
+                   replicated)
+
+__all__ = ['make_mesh', 'fsdp_shard_params', 'fsdp_spec_for',
+           'param_spec_for', 'shard_state', 'shard_batch', 'batch_sharding',
+           'replicated']

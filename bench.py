@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Benchmark: 2-NFE ArcFlux text-to-image transformer throughput at 1024px.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: images/sec/chip for the full 2-NFE sampling program (2 ArcFlux DiT
+forwards + mixture policy + analytic momentum integration per image) at
+1024x1024 (128x128x16 latents, p=2 -> 4096 image tokens + 512 text tokens).
+
+The reference publishes no throughput numbers (BASELINE.md); the north-star
+target is <1 s end-to-end on v5p-8, i.e. 0.125 images/sec/chip —
+``vs_baseline`` is measured value / 0.125. The transformer is the dominant
+cost at 2 NFE; VAE decode will be added to the e2e figure when the VAE lands.
+
+The model geometry auto-scales to chip HBM: full FLUX width (3072 hidden,
+24 heads) with as many (joint, single) blocks as fit, keeping the reference's
+1:2 joint:single ratio. Throughput for the full 12B geometry is reported by
+FLOP-scaling from the largest fitting depth (printed in the JSON as context).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from arcflow_tpu.utils import setup_jax
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build(num_layers, num_single_layers, latent=128, txt=512, k=16):
+    from arcflow_tpu.models import ArcFluxTransformer2DModel
+    from arcflow_tpu.diffusion import (ArcFlowPolicy, ContinuousTimeStepSampler,
+                                       momentum_integration)
+    model = ArcFluxTransformer2DModel(
+        patch_size=2, num_gaussians=k, in_channels=64,
+        num_layers=num_layers, num_single_layers=num_single_layers,
+        attention_head_dim=128, num_attention_heads=24,
+        joint_attention_dim=4096, pooled_projection_dim=768,
+        guidance_embeds=True, checkpointing=False, dtype=jnp.bfloat16)
+    sampler = ContinuousTimeStepSampler(num_timesteps=1, shift=3.2)
+
+    b = 1
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    inputs = dict(
+        hidden_states=jax.random.normal(ks[0], (b, latent, latent, 16),
+                                        jnp.bfloat16),
+        encoder_hidden_states=jax.random.normal(ks[1], (b, txt, 4096),
+                                                jnp.bfloat16),
+        pooled_projections=jax.random.normal(ks[2], (b, 768), jnp.bfloat16),
+        guidance=jnp.full((b,), 3.5))
+
+    def init_fn(rng):
+        p = model.init(rng, t=jnp.ones((b,)), **inputs)['params']
+        # cast-in-graph: frozen inference params live in bf16 (the reference
+        # loads the base model in torch_dtype=bfloat16); fusing the cast into
+        # init keeps peak HBM at one fp32 param, not the whole fp32 tree
+        return jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
+
+    params = jax.jit(init_fn)(ks[3])
+    jax.block_until_ready(params)
+
+    # full 2-NFE sampling program: 2 DiT forwards + analytic integration
+    def sample_2nfe(params, noise, txt_emb, pooled, guidance):
+        x = noise
+        raw = jnp.array([1.0, 0.5, 0.0])
+        for i in range(2):
+            raw_src = jnp.full((b,), raw[i])
+            sigma_src = sampler.warp_t(raw_src)
+            out = model.apply({'params': params}, x, sigma_src,
+                              encoder_hidden_states=txt_emb,
+                              pooled_projections=pooled, guidance=guidance)
+            policy = ArcFlowPolicy.create(out, x, sigma_src)
+            sigma_dst = sampler.warp_t(jnp.full((b,), raw[i + 1]))
+            x = momentum_integration(policy, x, sigma_src, sigma_dst).astype(
+                jnp.bfloat16)
+        return x
+
+    fn = jax.jit(sample_2nfe, donate_argnums=(1,))
+    args = (params, inputs['hidden_states'], inputs['encoder_hidden_states'],
+            inputs['pooled_projections'], inputs['guidance'])
+    return fn, args, model
+
+
+def try_bench(layers, single_layers, iters=8):
+    fn, args, model = build(layers, single_layers)
+    n_params = sum(x.size for x in jax.tree.leaves(args[0]))
+    log(f'config: {layers} joint + {single_layers} single blocks, '
+        f'{n_params / 1e9:.2f}B params')
+    params, noise, txt, pooled, g = args
+    # warmup / compile (host readback forces real completion — async remote
+    # dispatch makes block_until_ready unreliable for timing here)
+    t0 = time.perf_counter()
+    out = fn(params, noise, txt, pooled, g)
+    _ = float(jnp.sum(out.astype(jnp.float32)))
+    log(f'compile+first run: {time.perf_counter() - t0:.1f}s')
+    # timing: chain `iters` dependent steps, sync at both ends
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, out, txt, pooled, g)
+    _ = float(jnp.sum(out.astype(jnp.float32)))
+    per_image = (time.perf_counter() - t0) / iters
+    return per_image, n_params
+
+
+def main():
+    setup_jax()
+    log(f'devices: {jax.devices()}')
+
+    # largest full-width depth that fits chip HBM, keeping the 1:2 ratio;
+    # FLUX-12B is (19, 38)
+    for layers, single in [(8, 16), (6, 12), (4, 8), (2, 4)]:
+        try:
+            per_img, n_params = try_bench(layers, single)
+            break
+        except Exception as e:  # noqa: BLE001 - OOM fallback
+            log(f'config ({layers},{single}) failed: {type(e).__name__}: '
+                f'{str(e)[:200]}')
+    else:
+        print(json.dumps(dict(metric='images/sec/chip 1024px 2-NFE',
+                              value=0.0, unit='img/s', vs_baseline=0.0)))
+        return
+
+    imgs_per_sec = 1.0 / per_img
+    # FLOP-scale to the full 12B geometry (depth-proportional cost)
+    full_cost_ratio = (19 * 36 + 38 * 15) / (layers * 36 + single * 15)
+    imgs_per_sec_12b = imgs_per_sec / full_cost_ratio
+    target = 0.125  # north star: <1 s on v5p-8 => 0.125 img/s/chip
+    result = dict(
+        metric='images/sec/chip, 1024px 2-NFE ArcFlux transformer '
+               f'({layers}j+{single}s blocks, {n_params / 1e9:.2f}B params; '
+               f'12B-geometry extrapolation {imgs_per_sec_12b:.3f})',
+        value=round(imgs_per_sec, 4),
+        unit='img/s/chip',
+        vs_baseline=round(imgs_per_sec_12b / target, 3))
+    log(f"per-image: {per_img * 1000:.1f} ms")
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,175 @@
+"""ArcFlux/Flux architecture: shapes, head inits, adapter partition, sharing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from arcflow_tpu.models.flux import (ARCFLUX_ADAPTER_KEYS,
+                                     ArcFluxTransformer2DModel,
+                                     FluxTransformer2DModel, make_img_ids,
+                                     patchify, unpatchify)
+from arcflow_tpu.utils.pytree import (drop_params, flatten, merge_params,
+                                      partition_params)
+
+TINY = dict(in_channels=16, num_layers=2, num_single_layers=2,
+            attention_head_dim=32, num_attention_heads=4,
+            joint_attention_dim=64, pooled_projection_dim=32,
+            axes_dims_rope=(8, 12, 12), checkpointing=False)
+
+
+def tiny_inputs(b=2, h=8, w=8, c=4, s_txt=6):
+    rng = jax.random.PRNGKey(0)
+    ks = jax.random.split(rng, 4)
+    return dict(
+        hidden_states=jax.random.normal(ks[0], (b, h, w, c)),
+        t=jnp.full((b,), 0.7),
+        encoder_hidden_states=jax.random.normal(ks[1], (b, s_txt, 64)),
+        pooled_projections=jax.random.normal(ks[2], (b, 32)))
+
+
+def test_patchify_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 6, 5))
+    tokens = patchify(x, 2)
+    assert tokens.shape == (2, 4 * 3, 4 * 5)
+    x2 = unpatchify(tokens, 8, 6, 2)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x2))
+
+
+def test_img_ids():
+    ids = make_img_ids(3, 4)
+    assert ids.shape == (12, 3)
+    assert (np.asarray(ids[:, 0]) == 0).all()
+    assert np.asarray(ids[4]) .tolist() == [0, 1, 0]
+    assert np.asarray(ids[-1]).tolist() == [0, 2, 3]
+
+
+@pytest.fixture(scope='module')
+def arcflux():
+    model = ArcFluxTransformer2DModel(num_gaussians=4, patch_size=2, **TINY)
+    inputs = tiny_inputs()
+    params = model.init(jax.random.PRNGKey(1), **inputs)['params']
+    return model, params, inputs
+
+
+def test_arcflux_output_shapes(arcflux):
+    model, params, inputs = arcflux
+    out = model.apply({'params': params}, **inputs)
+    b, h, w, c = inputs['hidden_states'].shape
+    k = 4
+    assert out['means'].shape == (b, k, h, w, c)
+    assert out['logweights'].shape == (b, k, h, w, 1)
+    assert out['loggammas'].shape == (b, k - 1, h, w, 1)
+    # logweights normalized over K
+    w_sum = np.exp(np.asarray(out['logweights'])).sum(axis=1)
+    np.testing.assert_allclose(w_sum, 1.0, rtol=1e-4)
+
+
+def test_arcflux_head_init_semantics(arcflux):
+    model, params, inputs = arcflux
+    out = model.apply({'params': params}, **inputs)
+    # zero-kernel heads at init: loggammas spatially constant and log-spaced
+    logg = np.asarray(out['loggammas'])
+    target = np.log(np.logspace(np.log10(0.2), np.log10(4.0), 3))
+    np.testing.assert_allclose(logg[0, :, 0, 0, 0], target, rtol=1e-4)
+    assert np.abs(logg - logg[:, :, :1, :1]).max() < 1e-4
+    # logweights uniform at init
+    np.testing.assert_allclose(np.exp(np.asarray(out['logweights'])), 0.25,
+                               rtol=1e-3)
+    # means bias: shared across patch cells -> spatially periodic with p=2
+    m = np.asarray(out['means'])
+    np.testing.assert_allclose(m[0, :, 0, 0], m[0, :, 2, 2], atol=1e-5)
+    assert np.abs(m).max() > 0   # nonzero bias noise
+
+
+def test_adapter_partition_and_sharing(arcflux):
+    model, params, inputs = arcflux
+    adapter, base = partition_params(params, ARCFLUX_ADAPTER_KEYS)
+    flat_a = flatten(adapter)
+    assert any('proj_out_means' in k for k in flat_a)
+    assert any('norm_out' in k for k in flat_a)
+    assert all(not any(key in k for key in ARCFLUX_ADAPTER_KEYS)
+               for k in flatten(base))
+    # merge reassembles the exact same structure
+    merged = merge_params(base, adapter)
+    assert set(flatten(merged)) == set(flatten(params))
+    # merged leaves are the same arrays (no copies)
+    assert merged['proj_out_means']['kernel'] is adapter['proj_out_means']['kernel']
+
+
+def test_teacher_student_base_compatibility():
+    """Teacher tree (minus proj_out) must be a subset of the student tree, so
+    one frozen base can serve both (the reference's tie_untrained_submodules)."""
+    teacher = FluxTransformer2DModel(patch_size=2, **TINY)
+    student = ArcFluxTransformer2DModel(num_gaussians=4, patch_size=2,
+                                        lora_rank=4, **TINY)
+    inputs = tiny_inputs()
+    t_params = teacher.init(jax.random.PRNGKey(2), **inputs)['params']
+    s_params = student.init(jax.random.PRNGKey(3), **inputs)['params']
+
+    t_flat = flatten(drop_params(t_params, ['proj_out'], exact_prefix=True))
+    s_flat = flatten(s_params)
+    missing = [k for k in t_flat if k not in s_flat]
+    assert not missing, f'teacher keys missing from student: {missing[:5]}'
+    for k in t_flat:
+        assert t_flat[k].shape == s_flat[k].shape, k
+
+    # grafting teacher base into the student must produce identical teacher
+    # behavior when heads are ignored: run student on merged params
+    adapter, _ = partition_params(s_params, ARCFLUX_ADAPTER_KEYS)
+    merged = merge_params(drop_params(t_params, ['proj_out'], exact_prefix=True), adapter)
+    out = student.apply({'params': merged}, **inputs)
+    assert np.isfinite(np.asarray(out['means'])).all()
+
+
+def test_lora_only_on_reference_targets():
+    student = ArcFluxTransformer2DModel(num_gaussians=4, patch_size=2,
+                                        lora_rank=4, **TINY)
+    inputs = tiny_inputs()
+    params = student.init(jax.random.PRNGKey(4), **inputs)['params']
+    lora_keys = [k for k in flatten(params) if 'lora' in k]
+    assert lora_keys, 'expected lora params'
+    # reference targets: ff/mlp + single-block projections + timestep embedder
+    # (configs/flux/arcflux_2nfe_k16.py:40-48) — NOT attention qkv
+    for k in lora_keys:
+        assert ('ff_' in k or 'proj_mlp' in k or 'proj_out' in k
+                or 'timestep_embedder' in k), f'unexpected lora target: {k}'
+    assert not any('attn' in k for k in lora_keys)
+
+
+def test_lora_zero_at_init_grads_flow():
+    student = ArcFluxTransformer2DModel(num_gaussians=4, patch_size=2,
+                                        lora_rank=4, **TINY)
+    inputs = tiny_inputs()
+    params = student.init(jax.random.PRNGKey(5), **inputs)['params']
+    base_out = student.apply({'params': params}, **inputs)
+
+    # lora_b zeros at init -> removing lora changes nothing
+    no_lora = ArcFluxTransformer2DModel(num_gaussians=4, patch_size=2,
+                                        lora_rank=0, **TINY)
+    params_no = drop_params(params, ['lora'])
+    out_no = no_lora.apply({'params': params_no}, **inputs)
+    np.testing.assert_allclose(np.asarray(base_out['means']),
+                               np.asarray(out_no['means']), atol=1e-5)
+
+    # grads flow into adapter params only when loss differentiates adapter
+    adapter, base = partition_params(params, ARCFLUX_ADAPTER_KEYS)
+
+    def loss_fn(adapter):
+        merged = merge_params(base, adapter)
+        out = student.apply({'params': merged}, **inputs)
+        return jnp.square(out['means']).mean() + \
+            jnp.square(out['loggammas']).mean()
+
+    grads = jax.grad(loss_fn)(adapter)
+    gmax = max(float(jnp.abs(g).max()) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gmax) and gmax > 0
+
+
+def test_teacher_forward_shape():
+    teacher = FluxTransformer2DModel(patch_size=2, **TINY)
+    inputs = tiny_inputs()
+    params = teacher.init(jax.random.PRNGKey(6), **inputs)['params']
+    u = teacher.apply({'params': params}, **inputs)
+    assert u.shape == inputs['hidden_states'].shape
+    assert u.dtype == jnp.float32

@@ -1,0 +1,72 @@
+"""Mesh sharding: FSDP/TP param specs + the full multichip dry run on the
+simulated 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from arcflow_tpu.parallel import (make_mesh, param_spec_for, shard_batch,
+                                  shard_state)
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh({'data': 2, 'fsdp': 4})
+    assert dict(mesh.shape) == {'data': 2, 'fsdp': 4}
+    mesh2 = make_mesh({'data': 2, 'fsdp': -1})
+    assert mesh2.shape['fsdp'] == 4
+
+
+def test_param_spec_rules():
+    x = jnp.zeros((1024, 512))
+    # fsdp only: largest dim sharded
+    assert param_spec_for(x, 'fsdp', 4, min_size=1024) == P('fsdp', None)
+    # tp+fsdp: feature dim on tensor, largest remaining on fsdp
+    assert param_spec_for(x, 'fsdp', 4, 'tensor', 2, min_size=1024) == \
+        P('fsdp', 'tensor')
+    # small arrays replicate
+    assert param_spec_for(jnp.zeros((4,)), 'fsdp', 4, min_size=1024) == P()
+    # stacked scan layers (L, in, out)
+    y = jnp.zeros((8, 256, 512))
+    spec = param_spec_for(y, 'fsdp', 4, 'tensor', 2, min_size=1024)
+    assert spec == P(None, 'fsdp', 'tensor') or spec == P('fsdp', None, 'tensor')
+
+
+def test_dryrun_multichip_8dev():
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_matches_single_device():
+    """The same train step gives the same loss sharded vs unsharded."""
+    import optax
+    from arcflow_tpu.runner import TrainState, build_train_step
+
+    class M:
+        def loss(self, tr, fr, rng, batch, running_status=None):
+            w = tr['net']['w']
+            pred = batch['x'] @ w
+            return jnp.square(pred - batch['y']).mean(), {}
+
+    w0 = jax.random.normal(jax.random.PRNGKey(0), (64, 64))
+    batch = {'x': jax.random.normal(jax.random.PRNGKey(1), (16, 64)),
+             'y': jax.random.normal(jax.random.PRNGKey(2), (16, 64))}
+    opt = {'net': optax.sgd(0.1)}
+
+    def run(shard):
+        state = TrainState.create(jax.random.PRNGKey(3),
+                                  {'net': {'w': w0}}, {}, opt)
+        step = build_train_step(M(), opt, donate=False)
+        b = batch
+        if shard:
+            mesh = make_mesh({'data': 2, 'fsdp': 4})
+            state, _ = shard_state(state, mesh, min_size=1024)
+            b = shard_batch(batch, mesh)
+        state, logs = step(state, b)
+        return float(logs['loss']), np.asarray(state.trainable['net']['w'])
+
+    loss_1, w_1 = run(False)
+    loss_n, w_n = run(True)
+    np.testing.assert_allclose(loss_1, loss_n, rtol=1e-5)
+    np.testing.assert_allclose(w_1, w_n, rtol=1e-5, atol=1e-6)
