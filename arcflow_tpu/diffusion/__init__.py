@@ -7,6 +7,7 @@ from .losses import DiffusionMSELoss, DiffusionNLLLoss, GMFlowNLLLoss
 from .gaussian_flow import GaussianFlow, apply_guidance
 from .arcflow import (ArcFlowImitation, ArcFlowImitationDataFree,
                       multistep_train_loss)
+from .gmflow import GMFlow, gmflow_posterior, gmflow_posterior_mean, probabilistic_guidance
 from . import schedulers
 from .schedulers import FlowEulerODEScheduler, FlowSDEScheduler
 
@@ -16,5 +17,6 @@ __all__ = [
     'DiffusionMSELoss', 'DiffusionNLLLoss', 'GMFlowNLLLoss',
     'GaussianFlow', 'apply_guidance',
     'ArcFlowImitation', 'ArcFlowImitationDataFree', 'multistep_train_loss',
+    'GMFlow', 'gmflow_posterior', 'gmflow_posterior_mean', 'probabilistic_guidance',
     'FlowEulerODEScheduler', 'FlowSDEScheduler', 'schedulers',
 ]

@@ -143,8 +143,8 @@ class GMFlowNLLLoss(_BaseDiffusionLoss):
         num_channels = d['pred_means'].shape[-1]
         gm = dict(means=d['pred_means'], logstds=d['pred_logstds'],
                   logweights=d['pred_logweights'])
-        logprob = gm_logprob(gm, d['target'][:, None])   # (B, 1, *spatial, 1)
-        loss = -logprob.squeeze(1) / num_channels
+        logprob, _ = gm_logprob(gm, d['target'][:, None])   # (B, 1, H, W)
+        loss = -logprob.squeeze(1) / num_channels           # (B, H, W)
         weight = outputs.get('weight')
         if weight is not None:
             loss = loss * weight

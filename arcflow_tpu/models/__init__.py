@@ -1,12 +1,14 @@
 """Network architectures (flax.linen modules)."""
 
-from .toy import ToyMLPDenoiser, ToyArcFlowDenoiser, timestep_embedding
+from .toy import (ToyMLPDenoiser, ToyArcFlowDenoiser, ToyGMFlowDenoiser,
+                  SpectrumMLP, timestep_embedding)
 from .base import BaseModel, Diffusion2D, Distillation2D
 from .flux import (ArcFluxTransformer2DModel, FluxTransformer2DModel,
                    ARCFLUX_ADAPTER_KEYS, patchify, unpatchify)
 from .latent_diffusion import LatentDiffusionTextImage
 
-__all__ = ['ToyMLPDenoiser', 'ToyArcFlowDenoiser', 'timestep_embedding',
+__all__ = ['ToyMLPDenoiser', 'ToyArcFlowDenoiser', 'ToyGMFlowDenoiser',
+           'SpectrumMLP', 'timestep_embedding',
            'BaseModel', 'Diffusion2D', 'Distillation2D',
            'ArcFluxTransformer2DModel', 'FluxTransformer2DModel',
            'ARCFLUX_ADAPTER_KEYS', 'patchify', 'unpatchify',

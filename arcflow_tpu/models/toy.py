@@ -51,6 +51,64 @@ class ToyMLPDenoiser(nn.Module):
 
 
 @MODULES.register_module()
+class ToyGMFlowDenoiser(nn.Module):
+    """MLP emitting a GMFlow velocity mixture for (B, H, W, C) data.
+
+    Output: means (B, K, H, W, C), logstds (B, 1, 1, 1, 1) (learned global
+    scalar, the GMFlow parameterization), logweights (B, K, H, W, 1).
+    """
+
+    out_channels: int = 2
+    num_gaussians: int = 8
+    hidden: Sequence[int] = (256, 256, 256)
+    time_embed_dim: int = 64
+    num_timesteps: int = 1000
+
+    @nn.compact
+    def __call__(self, x_t: Array, t: Array, **kwargs) -> dict:
+        b = x_t.shape[0]
+        hw = x_t.shape[1:3]
+        k, c = self.num_gaussians, self.out_channels
+        temb = timestep_embedding(t / self.num_timesteps * 1000.0,
+                                  self.time_embed_dim)
+        h = jnp.concatenate([x_t.reshape(b, -1), temb], axis=-1)
+        for width in self.hidden:
+            h = nn.silu(nn.Dense(width)(h))
+        n_pix = hw[0] * hw[1]
+        means = nn.Dense(k * n_pix * c, name='out_means')(h).reshape(
+            b, k, *hw, c)
+        logweights = jax.nn.log_softmax(
+            nn.Dense(k * n_pix, kernel_init=nn.initializers.zeros,
+                     name='out_logweights')(h).reshape(b, k, *hw, 1), axis=1)
+        logstd = self.param('logstd', nn.initializers.constant(-1.0), (1,))
+        logstds = jnp.broadcast_to(logstd.reshape(1, 1, 1, 1, 1),
+                                   (b, 1, 1, 1, 1))
+        return dict(means=means, logstds=logstds, logweights=logweights)
+
+
+@MODULES.register_module()
+class SpectrumMLP(nn.Module):
+    """Predicts a log power spectrum from iso-Gaussian x0 stats (the
+    reference's config-gated ``spectrum_net`` slot; no implementation ships
+    with it, so this is the minimal functional filler)."""
+
+    height: int = 1
+    width: int = 1
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, mean: Array, var: Array) -> Array:
+        b = mean.shape[0]
+        c = mean.shape[-1]
+        feat = jnp.concatenate([mean.reshape(b, -1), var.reshape(b, -1)],
+                               axis=-1)
+        h = nn.silu(nn.Dense(self.hidden)(feat))
+        out = nn.Dense(self.height * self.width * c,
+                       kernel_init=nn.initializers.zeros)(h)
+        return out.reshape(b, self.height, self.width, c)
+
+
+@MODULES.register_module()
 class ToyArcFlowDenoiser(nn.Module):
     """MLP emitting ArcFlow mixture params for (B, C) data.
 
