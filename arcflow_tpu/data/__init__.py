@@ -2,5 +2,10 @@
 
 from .checkerboard import CheckerboardData
 from .builder import build_dataset, build_dataloader, collate
+from .image_prompts import ImagePrompt, load_datalist
+from .imagenet import ImageNet, adm_center_crop
+from .samplers import BucketizedBatchSampler, build_bucketized_loader
 
-__all__ = ['CheckerboardData', 'build_dataset', 'build_dataloader', 'collate']
+__all__ = ['CheckerboardData', 'build_dataset', 'build_dataloader', 'collate',
+           'ImagePrompt', 'load_datalist', 'ImageNet', 'adm_center_crop',
+           'BucketizedBatchSampler', 'build_bucketized_loader']

@@ -25,7 +25,9 @@ def collate(samples) -> dict:
     out = {}
     for k in samples[0]:
         vals = [s[k] for s in samples]
-        if isinstance(vals[0], np.ndarray) or np.isscalar(vals[0]):
+        if isinstance(vals[0], dict):
+            out[k] = collate(vals)
+        elif isinstance(vals[0], np.ndarray) or np.isscalar(vals[0]):
             out[k] = np.stack(vals)
         else:
             out[k] = vals

@@ -5,6 +5,13 @@ from .toy import (ToyMLPDenoiser, ToyArcFlowDenoiser, ToyGMFlowDenoiser,
 from .base import BaseModel, Diffusion2D, Distillation2D
 from .flux import (ArcFluxTransformer2DModel, FluxTransformer2DModel,
                    ARCFLUX_ADAPTER_KEYS, patchify, unpatchify)
+from .qwen import (ArcQwenImageTransformer2DModel, QwenImageTransformer2DModel,
+                   ARCQWEN_ADAPTER_KEYS)
+from .vae import (PretrainedVAE, PretrainedVAEDecoder, PretrainedVAEEncoder,
+                  PretrainedVAEQwenImage)
+from .text_encoders import (PretrainedFluxTextEncoder,
+                            PretrainedQwenImageTextEncoder,
+                            PretrainedStableDiffusion3TextEncoder)
 from .latent_diffusion import LatentDiffusionTextImage
 
 __all__ = ['ToyMLPDenoiser', 'ToyArcFlowDenoiser', 'ToyGMFlowDenoiser',
@@ -12,4 +19,9 @@ __all__ = ['ToyMLPDenoiser', 'ToyArcFlowDenoiser', 'ToyGMFlowDenoiser',
            'BaseModel', 'Diffusion2D', 'Distillation2D',
            'ArcFluxTransformer2DModel', 'FluxTransformer2DModel',
            'ARCFLUX_ADAPTER_KEYS', 'patchify', 'unpatchify',
-           'LatentDiffusionTextImage']
+           'ArcQwenImageTransformer2DModel', 'QwenImageTransformer2DModel',
+           'ARCQWEN_ADAPTER_KEYS', 'LatentDiffusionTextImage',
+           'PretrainedVAE', 'PretrainedVAEDecoder', 'PretrainedVAEEncoder',
+           'PretrainedVAEQwenImage', 'PretrainedFluxTextEncoder',
+           'PretrainedQwenImageTextEncoder',
+           'PretrainedStableDiffusion3TextEncoder']

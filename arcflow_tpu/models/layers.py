@@ -227,8 +227,8 @@ class JointAttention(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, img: Array, txt: Array, rope: Tuple[Array, Array]
-                 ) -> Tuple[Array, Array]:
+    def __call__(self, img: Array, txt: Array, rope: Tuple[Array, Array],
+                 mask: Optional[Array] = None) -> Tuple[Array, Array]:
         b, s_img, _ = img.shape
         s_txt = txt.shape[1]
         inner = self.num_heads * self.head_dim
@@ -258,7 +258,7 @@ class JointAttention(nn.Module):
         q = apply_rope(q, cos[None, :, None, :], sin[None, :, None, :])
         k = apply_rope(k, cos[None, :, None, :], sin[None, :, None, :])
 
-        out = attention(q, k, v).reshape(b, s_txt + s_img, inner)
+        out = attention(q, k, v, mask=mask).reshape(b, s_txt + s_img, inner)
         txt_out, img_out = out[:, :s_txt], out[:, s_txt:]
         img_out = LoRADense(self.dim, lora_rank=self.lora_rank,
                             dtype=self.dtype, name='img_out')(img_out)
