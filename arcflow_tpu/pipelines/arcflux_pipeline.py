@@ -1,0 +1,191 @@
+"""End-user 2-NFE text-to-image pipelines (FLUX + Qwen-Image).
+
+Equivalent capability to the reference pipelines
+(``lakonlab/pipelines/arcflux_pipeline.py`` / ``arcqwen_pipeline.py``):
+prompt encoding -> nfe-step ArcFlow sampling (one DiT call + analytic
+momentum integration per step, temperature on non-final steps) -> VAE decode.
+
+TPU design: the whole latent loop compiles into ONE XLA program per
+(batch, resolution, nfe) signature with donated latents; VAE decode is a
+second program. The reference's duplicated in-pipeline integrator
+(arcflux_pipeline.py:195-249) does not exist here — the pipeline drives the
+same ``ArcFlowImitationDataFree.forward_test`` used in training evaluation.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion import ArcFlowImitationDataFree
+from ..registry import build_module
+
+Array = jax.Array
+
+
+def retrieve_raw_timesteps(num_inference_steps: int,
+                           total_substeps: int = 128,
+                           timestep_ratio: float = 1.0):
+    """(nfe, substeps, ratio) -> raw sigma grid + per-segment substep counts
+    (reference ``retrieve_raw_timesteps``, arcflux_pipeline.py:34-70)."""
+    eps = 1e-4
+    nfe = num_inference_steps
+    ratio = max(timestep_ratio, eps)
+    base = 1.0 / (nfe - 1 + ratio)
+    raw = [1.0]
+    substeps = []
+    for i in range(nfe):
+        seg = base * (ratio if i == nfe - 1 else 1.0)
+        raw.append(max(raw[-1] - seg, 0.0))
+        substeps.append(max(round(seg * total_substeps), 1))
+    return np.asarray(raw, np.float32), substeps
+
+
+class ArcFluxPipeline:
+    """FLUX-family ArcFlow pipeline."""
+
+    diffusion_cls = ArcFlowImitationDataFree
+
+    def __init__(self, transformer, transformer_params,
+                 vae=None, vae_params=None, text_encoder=None,
+                 shift: float = 3.2, use_dynamic_shifting: bool = False,
+                 nfe: int = 2, timestep_ratio: float = 1.0,
+                 temperature: float = 1.0, total_substeps: int = 128,
+                 guidance_scale: float = 3.5):
+        self.transformer = transformer
+        self.transformer_params = transformer_params
+        self.vae = build_module(vae) if isinstance(vae, dict) else vae
+        self.vae_params = vae_params
+        self.text_encoder = text_encoder
+        self.guidance_scale = guidance_scale
+        self.diffusion = self.diffusion_cls(
+            denoising=transformer,
+            num_timesteps=1,
+            timestep_sampler=dict(
+                type='ContinuousTimeStepSampler', shift=shift,
+                use_dynamic_shifting=use_dynamic_shifting),
+            test_cfg=dict(nfe=nfe, timestep_ratio=timestep_ratio,
+                          temperature=temperature,
+                          total_substeps=total_substeps))
+        self._sample_jit = jax.jit(
+            lambda params, rng, noise, override, **kw:
+            self.diffusion.forward_test(params, rng, noise,
+                                        test_cfg_override=dict(override),
+                                        **kw),
+            static_argnums=(3,), donate_argnums=(2,))
+        self._decode_jit = jax.jit(
+            lambda p, z: self.vae.decode(p, z)) if self.vae else None
+
+    # ---- loading -----------------------------------------------------------
+    @classmethod
+    def from_pretrained(cls, model_dir: str, transformer_cls=None, **kwargs):
+        """Build from a local diffusers-style folder (offline; the reference
+        pulls from the HF hub)."""
+        from ..models import ArcFluxTransformer2DModel
+        from .convert import load_safetensors_state, torch_flux_to_flax, \
+            graft_pretrained
+        transformer_cls = transformer_cls or ArcFluxTransformer2DModel
+        cfg_path = os.path.join(model_dir, 'config.json')
+        cfg = json.load(open(cfg_path)) if os.path.exists(cfg_path) else {}
+        model = transformer_cls(**{k: v for k, v in cfg.items()
+                                   if not k.startswith('_')})
+        state = load_safetensors_state(model_dir)
+        tree, _ = torch_flux_to_flax(state, model.num_layers,
+                                     getattr(model, 'num_single_layers', 0))
+        return cls(model, tree, **kwargs)
+
+    def load_arcflow_adapter(self, adapter_path: str, rng=None):
+        """Graft an exported ArcFlow adapter (heads + norm_out + LoRA) onto
+        the base transformer (reference ``ArcFlowLoaderMixin``,
+        arcflow_loader.py:45-275). Reads the ``policy_config`` JSON from the
+        safetensors metadata header."""
+        from .loader import load_adapter_state
+        adapter_tree, policy_config = load_adapter_state(adapter_path)
+        from ..utils.pytree import merge_params
+        self.transformer_params = merge_params(self.transformer_params,
+                                               adapter_tree)
+        if policy_config:
+            tc = dict(self.diffusion.test_cfg)
+            tc.update({k: v for k, v in policy_config.items()
+                       if k in ('nfe', 'timestep_ratio', 'total_substeps',
+                                'temperature')})
+            self.diffusion.test_cfg = tc
+        return policy_config
+
+    # ---- inference ------------------------------------------------------------
+    def encode_prompt(self, prompt: Sequence[str]) -> Dict[str, Array]:
+        assert self.text_encoder is not None, \
+            'pass prompt_embeds or construct with a text_encoder'
+        return self.text_encoder(prompt)
+
+    def prepare_latents(self, rng, batch_size: int, height: int, width: int,
+                        channels: Optional[int] = None) -> Array:
+        if channels is None:
+            p = getattr(self.transformer, 'patch_size', 2)
+            channels = self.transformer.in_channels // (p * p)
+        return jax.random.normal(
+            rng, (batch_size, height // 8, width // 8, channels), jnp.float32)
+
+    def __call__(self, prompt: Optional[Sequence[str]] = None,
+                 prompt_embeds: Optional[Dict[str, Array]] = None,
+                 height: int = 1024, width: int = 1024,
+                 num_inference_steps: Optional[int] = None,
+                 timestep_ratio: Optional[float] = None,
+                 temperature: Optional[float] = None,
+                 guidance_scale: Optional[float] = None,
+                 latents: Optional[Array] = None,
+                 seed: int = 0, output_type: str = 'np'):
+        embeds = dict(prompt_embeds) if prompt_embeds is not None \
+            else self.encode_prompt(prompt)
+        bs = next(iter(embeds.values())).shape[0]
+        rng = jax.random.PRNGKey(seed)
+        rng, rng_noise = jax.random.split(rng)
+        if latents is None:
+            latents = self.prepare_latents(rng_noise, bs, height, width)
+
+        gs = guidance_scale if guidance_scale is not None \
+            else self.guidance_scale
+        if getattr(self.transformer, 'guidance_embeds', False) and \
+                'guidance' not in embeds:
+            embeds['guidance'] = jnp.full((bs,), gs, jnp.float32)
+
+        override = {}
+        if num_inference_steps is not None:
+            override['nfe'] = num_inference_steps
+        if timestep_ratio is not None:
+            override['timestep_ratio'] = timestep_ratio
+        if temperature is not None:
+            override['temperature'] = temperature
+        override = tuple(sorted(override.items()))
+
+        latents = self._sample_jit(self.transformer_params, rng, latents,
+                                   override, **embeds)
+        if self.vae is None or output_type == 'latent':
+            return dict(latents=latents)
+        imgs = self._decode_jit(self.vae_params, latents)
+        imgs = jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
+        if output_type == 'pil':
+            from PIL import Image
+            arr = np.asarray(imgs * 255).astype(np.uint8)
+            return dict(images=[Image.fromarray(a) for a in arr])
+        return dict(images=np.asarray(imgs))
+
+
+class ArcQwenImagePipeline(ArcFluxPipeline):
+    """Qwen-Image-family ArcFlow pipeline (reference arcqwen_pipeline.py).
+
+    Same structure; Qwen has no guidance embeds and uses the text mask."""
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str, transformer_cls=None, **kwargs):
+        from ..models import ArcQwenImageTransformer2DModel
+        return super().from_pretrained(
+            model_dir,
+            transformer_cls=transformer_cls or ArcQwenImageTransformer2DModel,
+            **kwargs)

@@ -1,0 +1,327 @@
+"""Weight conversion: diffusers/torch safetensors <-> arcflow_tpu flax trees.
+
+Equivalent capability to the reference's pretrained-loading machinery
+(``arcflux.py:318-357``: HF sharded-index checkpoints, proj_out K-way
+expansion with seeded bias noise, LoRA key handling) plus the reverse
+direction used by the exporter (``export_arcflow_to_diffusers.py``).
+
+The flax trees stack transformer blocks along axis 0 (nn.scan layout), so
+conversion gathers per-block torch keys into one stacked array and vice
+versa. Linear weights transpose (out,in) -> (in,out).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.pytree import flatten, unflatten
+
+# torch-side name -> flax-side name, per FLUX block kind
+_FLUX_JOINT_MAP = {
+    'norm1.linear': 'img_norm1.modulation',
+    'norm1_context.linear': 'txt_norm1.modulation',
+    'attn.to_q': 'attn.img_q',
+    'attn.to_k': 'attn.img_k',
+    'attn.to_v': 'attn.img_v',
+    'attn.to_out.0': 'attn.img_out',
+    'attn.add_q_proj': 'attn.txt_q',
+    'attn.add_k_proj': 'attn.txt_k',
+    'attn.add_v_proj': 'attn.txt_v',
+    'attn.to_add_out': 'attn.txt_out',
+    'attn.norm_q': 'attn.img_q_norm',
+    'attn.norm_k': 'attn.img_k_norm',
+    'attn.norm_added_q': 'attn.txt_q_norm',
+    'attn.norm_added_k': 'attn.txt_k_norm',
+    'ff.net.0.proj': 'ff_img.in_proj',
+    'ff.net.2': 'ff_img.out_proj',
+    'ff_context.net.0.proj': 'ff_txt.in_proj',
+    'ff_context.net.2': 'ff_txt.out_proj',
+}
+_FLUX_SINGLE_MAP = {
+    'norm.linear': 'norm.modulation',
+    'attn.to_q': 'attn.q',
+    'attn.to_k': 'attn.k',
+    'attn.to_v': 'attn.v',
+    'attn.norm_q': 'attn.q_norm',
+    'attn.norm_k': 'attn.k_norm',
+    'proj_mlp': 'proj_mlp',
+    'proj_out': 'proj_out',
+}
+_FLUX_TOP_MAP = {
+    'x_embedder': 'x_embedder',
+    'context_embedder': 'context_embedder',
+    'time_text_embed.timestep_embedder.linear_1':
+        'time_text_embed.timestep_embedder.linear1',
+    'time_text_embed.timestep_embedder.linear_2':
+        'time_text_embed.timestep_embedder.linear2',
+    'time_text_embed.guidance_embedder.linear_1':
+        'time_text_embed.guidance_embedder.linear1',
+    'time_text_embed.guidance_embedder.linear_2':
+        'time_text_embed.guidance_embedder.linear2',
+    'time_text_embed.text_embedder.linear_1':
+        'time_text_embed.text_embedder.linear1',
+    'time_text_embed.text_embedder.linear_2':
+        'time_text_embed.text_embedder.linear2',
+    'norm_out.linear': 'norm_out.modulation',
+    'proj_out': 'proj_out',
+}
+# Qwen-Image mapping (diffusers transformer_qwenimage naming)
+_QWEN_BLOCK_MAP = {
+    'img_mod.1': 'img_norm1.modulation',
+    'txt_mod.1': 'txt_norm1.modulation',
+    'attn.to_q': 'attn.img_q',
+    'attn.to_k': 'attn.img_k',
+    'attn.to_v': 'attn.img_v',
+    'attn.to_out.0': 'attn.img_out',
+    'attn.add_q_proj': 'attn.txt_q',
+    'attn.add_k_proj': 'attn.txt_k',
+    'attn.add_v_proj': 'attn.txt_v',
+    'attn.to_add_out': 'attn.txt_out',
+    'attn.norm_q': 'attn.img_q_norm',
+    'attn.norm_k': 'attn.img_k_norm',
+    'attn.norm_added_q': 'attn.txt_q_norm',
+    'attn.norm_added_k': 'attn.txt_k_norm',
+    'img_mlp.net.0.proj': 'ff_img.in_proj',
+    'img_mlp.net.2': 'ff_img.out_proj',
+    'txt_mlp.net.0.proj': 'ff_txt.in_proj',
+    'txt_mlp.net.2': 'ff_txt.out_proj',
+}
+_QWEN_TOP_MAP = {
+    'img_in': 'img_in',
+    'txt_in': 'txt_in',
+    'txt_norm': 'txt_norm',
+    'time_text_embed.timestep_embedder.linear_1':
+        'timestep_embedder.linear1',
+    'time_text_embed.timestep_embedder.linear_2':
+        'timestep_embedder.linear2',
+    'norm_out.linear': 'norm_out.modulation',
+    'proj_out': 'proj_out',
+}
+
+
+def _leaf_name(torch_key: str) -> Tuple[str, str]:
+    """Split '...module.weight' -> (module_path, torch_leaf)."""
+    path, _, leaf = torch_key.rpartition('.')
+    return path, leaf
+
+
+def _convert_leaf(torch_leaf: str, value: np.ndarray,
+                  is_norm: bool) -> Tuple[str, np.ndarray]:
+    if torch_leaf == 'weight':
+        if is_norm:
+            return 'scale', value
+        if value.ndim == 2:
+            return 'kernel', value.T
+        return 'kernel', value
+    if torch_leaf == 'bias':
+        return 'bias', value
+    # LoRA leaves: lora_A.weight (r, in) -> lora_a (in, r);
+    # lora_B.weight (out, r) -> lora_b (r, out)
+    raise KeyError(torch_leaf)
+
+
+def load_safetensors_state(path: str) -> Dict[str, np.ndarray]:
+    """Load a .safetensors file, a sharded index.json, or a directory."""
+    from safetensors import safe_open
+
+    def load_one(p):
+        out = {}
+        with safe_open(p, framework='np') as f:
+            for k in f.keys():
+                out[k] = f.get_tensor(k)
+        return out
+
+    if os.path.isdir(path):
+        idx = [f for f in os.listdir(path) if f.endswith('.index.json')]
+        if idx:
+            return load_safetensors_state(os.path.join(path, idx[0]))
+        state = {}
+        for f in sorted(os.listdir(path)):
+            if f.endswith('.safetensors'):
+                state.update(load_one(os.path.join(path, f)))
+        return state
+    if path.endswith('.index.json'):
+        with open(path) as f:
+            index = json.load(f)
+        base = os.path.dirname(path)
+        state = {}
+        for shard in sorted(set(index['weight_map'].values())):
+            state.update(load_one(os.path.join(base, shard)))
+        return state
+    return load_one(path)
+
+
+def torch_flux_to_flax(state: Dict[str, np.ndarray],
+                       num_layers: int = 19, num_single_layers: int = 38,
+                       family: str = 'flux',
+                       dtype=np.float32) -> Tuple[Dict, Dict]:
+    """Convert a diffusers FLUX/Qwen transformer state dict to the stacked
+    flax tree. Returns (flax_tree, unused_torch_keys)."""
+    if family == 'flux':
+        block_specs = [
+            ('transformer_blocks', 'joint_blocks', _FLUX_JOINT_MAP,
+             num_layers),
+            ('single_transformer_blocks', 'single_blocks', _FLUX_SINGLE_MAP,
+             num_single_layers)]
+        top_map = _FLUX_TOP_MAP
+    else:
+        block_specs = [('transformer_blocks', 'transformer_blocks',
+                        _QWEN_BLOCK_MAP, num_layers)]
+        top_map = _QWEN_TOP_MAP
+
+    flat: Dict[str, np.ndarray] = {}
+    used = set()
+
+    def is_norm_path(torch_path: str) -> bool:
+        return ('norm_q' in torch_path or 'norm_k' in torch_path
+                or 'norm_added' in torch_path
+                or torch_path.endswith('txt_norm'))
+
+    # stacked blocks
+    for torch_prefix, flax_prefix, mapping, n_blocks in block_specs:
+        for t_sub, f_sub in mapping.items():
+            for leaf in ('weight', 'bias'):
+                keys = [f'{torch_prefix}.{i}.{t_sub}.{leaf}'
+                        for i in range(n_blocks)]
+                if keys[0] not in state:
+                    continue
+                vals = [state[k] for k in keys]
+                used.update(keys)
+                f_leaf, v0 = _convert_leaf(leaf, vals[0],
+                                           is_norm_path(t_sub))
+                stacked = np.stack(
+                    [_convert_leaf(leaf, v, is_norm_path(t_sub))[1]
+                     for v in vals]).astype(dtype)
+                flat[f'{flax_prefix}.{f_sub}.{f_leaf}'] = stacked
+
+    # top-level
+    for t_sub, f_sub in top_map.items():
+        for leaf in ('weight', 'bias'):
+            key = f'{t_sub}.{leaf}'
+            if key not in state:
+                continue
+            used.add(key)
+            f_leaf, v = _convert_leaf(leaf, state[key],
+                                      is_norm_path(t_sub))
+            flat[f'{f_sub}.{f_leaf}'] = v.astype(dtype)
+
+    unused = {k: v for k, v in state.items() if k not in used}
+    return unflatten(flat), unused
+
+
+def expand_proj_out_to_arc_heads(flax_tree: Dict, num_gaussians: int,
+                                 patch_size: int = 2,
+                                 rng: Optional[jax.Array] = None,
+                                 noise_scale: float = 0.05) -> Dict:
+    """Initialize the ArcFlow student's means head from the teacher's
+    proj_out: K-way weight expansion + seeded bias noise shared across patch
+    cells (reference arcflux.py:327-341). Returns a tree with
+    ``proj_out_means`` replacing ``proj_out``."""
+    flat = flatten(flax_tree)
+    if 'proj_out.kernel' not in flat:
+        return flax_tree
+    k = num_gaussians
+    p2 = patch_size * patch_size
+    kernel = flat.pop('proj_out.kernel')          # (D, p2*C)
+    bias = flat.pop('proj_out.bias')              # (p2*C,)
+    out_ch = kernel.shape[1]
+    c = out_ch // p2
+    # my head layout is (K, p2, C) flattened on the output dim; the teacher's
+    # is (p2, C) — tile K times
+    kernel_k = np.tile(np.asarray(kernel).reshape(-1, 1, p2, c),
+                       (1, k, 1, 1)).reshape(kernel.shape[0], k * p2 * c)
+    bias_k = np.tile(np.asarray(bias).reshape(1, p2, c),
+                     (k, 1, 1))
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    noise = noise_scale * np.asarray(
+        jax.random.normal(rng, (k, c), jnp.float32))
+    bias_k = (bias_k + noise[:, None, :]).reshape(k * p2 * c)
+    flat['proj_out_means.kernel'] = kernel_k.astype(kernel.dtype)
+    flat['proj_out_means.bias'] = bias_k.astype(bias.dtype)
+    return unflatten(flat)
+
+
+def flax_to_torch_flux(flax_tree: Dict, family: str = 'flux'
+                       ) -> Dict[str, np.ndarray]:
+    """Reverse conversion for export (stacked flax -> per-block torch keys)."""
+    if family == 'flux':
+        block_specs = [
+            ('transformer_blocks', 'joint_blocks', _FLUX_JOINT_MAP),
+            ('single_transformer_blocks', 'single_blocks', _FLUX_SINGLE_MAP)]
+        top_map = _FLUX_TOP_MAP
+    else:
+        block_specs = [('transformer_blocks', 'transformer_blocks',
+                        _QWEN_BLOCK_MAP)]
+        top_map = _QWEN_TOP_MAP
+
+    flat = flatten(flax_tree)
+    out: Dict[str, np.ndarray] = {}
+    handled = set()
+
+    def deconvert(f_leaf, v):
+        if f_leaf == 'kernel' and v.ndim == 2:
+            return 'weight', np.asarray(v).T
+        if f_leaf == 'scale':
+            return 'weight', np.asarray(v)
+        return ('weight', np.asarray(v)) if f_leaf == 'kernel' \
+            else ('bias', np.asarray(v))
+
+    for torch_prefix, flax_prefix, mapping in block_specs:
+        inv = {f: t for t, f in mapping.items()}
+        for f_sub, t_sub in inv.items():
+            for f_leaf in ('kernel', 'bias', 'scale'):
+                key = f'{flax_prefix}.{f_sub}.{f_leaf}'
+                if key not in flat:
+                    continue
+                handled.add(key)
+                stacked = np.asarray(flat[key])
+                for i in range(stacked.shape[0]):
+                    t_leaf, v = deconvert(f_leaf, stacked[i])
+                    out[f'{torch_prefix}.{i}.{t_sub}.{t_leaf}'] = v
+    inv_top = {f: t for t, f in top_map.items()}
+    for f_sub, t_sub in inv_top.items():
+        for f_leaf in ('kernel', 'bias', 'scale'):
+            key = f'{f_sub}.{f_leaf}'
+            if key not in flat:
+                continue
+            handled.add(key)
+            t_leaf, v = deconvert(f_leaf, flat[key])
+            out[f'{t_sub}.{t_leaf}'] = v
+    # arc heads + lora pass through with canonical names
+    for key, v in flat.items():
+        if key in handled:
+            continue
+        out[key.replace('.kernel', '.weight')] = (
+            np.asarray(v).swapaxes(-1, -2) if key.endswith('.kernel')
+            and np.asarray(v).ndim >= 2 else np.asarray(v))
+    return out
+
+
+def graft_pretrained(init_tree: Dict, converted: Dict,
+                     strict_shapes: bool = True) -> Tuple[Dict, list, list]:
+    """Overlay converted weights onto an init tree; report missing/unexpected.
+
+    Returns (tree, missing_keys, unexpected_keys) — the load contract of the
+    reference's ``load_full_state_dict``.
+    """
+    init_flat = flatten(init_tree)
+    conv_flat = flatten(converted)
+    missing = [k for k in init_flat if k not in conv_flat]
+    unexpected = [k for k in conv_flat if k not in init_flat]
+    out = dict(init_flat)
+    for k, v in conv_flat.items():
+        if k in out:
+            if strict_shapes and tuple(out[k].shape) != tuple(v.shape):
+                raise ValueError(
+                    f'shape mismatch for {k}: init {out[k].shape} vs '
+                    f'checkpoint {v.shape}')
+            out[k] = jnp.asarray(v, out[k].dtype)
+    return unflatten(out), missing, unexpected

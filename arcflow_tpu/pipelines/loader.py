@@ -1,0 +1,105 @@
+"""Adapter checkpoint I/O: export/load ArcFlow adapters as safetensors with an
+embedded ``policy_config`` JSON header.
+
+Equivalent capability to the reference export/load pair
+(``export_arcflow_to_diffusers.py:40-124`` + ``pipelines/arcflow_loader.py``):
+the exported file carries the trainable adapter (3 heads + norm_out + LoRA)
+in diffusers-compatible torch naming, plus the sampling policy config in the
+safetensors metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..utils.pytree import flatten, unflatten
+from .convert import torch_flux_to_flax
+
+
+def save_adapter_state(path: str, adapter_tree: Dict,
+                       policy_config: Optional[dict] = None,
+                       family: str = 'flux'):
+    """Write the adapter tree (flax naming, stacked blocks) to safetensors in
+    torch naming, with policy_config embedded in the metadata header."""
+    from safetensors.numpy import save_file
+    from .convert import flax_to_torch_flux
+    state = flax_to_torch_flux(adapter_tree, family=family)
+    state = {k: np.ascontiguousarray(v) for k, v in state.items()}
+    meta = {}
+    if policy_config is not None:
+        meta['policy_config'] = json.dumps(policy_config)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    save_file(state, path, metadata=meta or None)
+
+
+def load_adapter_state(path: str, family: str = 'flux'
+                       ) -> Tuple[Dict, Optional[dict]]:
+    """Read an exported adapter; returns (flax_tree, policy_config|None).
+
+    Splits keys into stacked-block entries vs top-level adapter heads exactly
+    as the converter expects; LoRA keys (``lora_a``/``lora_b`` or peft-style
+    ``lora_A.weight``) are normalized to the framework's lora leaves.
+    """
+    from safetensors import safe_open
+    state = {}
+    with safe_open(path, framework='np') as f:
+        meta = f.metadata() or {}
+        for k in f.keys():
+            state[k] = f.get_tensor(k)
+    policy_config = None
+    if 'policy_config' in meta:
+        policy_config = json.loads(meta['policy_config'])
+
+    # normalize peft-style lora names: lora_A.default.weight -> lora_a etc.
+    norm_state = {}
+    for k, v in state.items():
+        k = k.replace('.lora_A.default.weight', '.lora_a.weight')
+        k = k.replace('.lora_B.default.weight', '.lora_b.weight')
+        k = k.replace('.lora_A.weight', '.lora_a.weight')
+        k = k.replace('.lora_B.weight', '.lora_b.weight')
+        # the exporter writes the adapter's final AdaLN under its diffusers
+        # name; map it back to the flax module name
+        k = k.replace('norm_out.linear.', 'norm_out.modulation.')
+        norm_state[k] = v
+
+    # split: keys already in flax naming (exported by us: contain lora_a/b or
+    # arc head names) vs diffusers torch naming needing conversion
+    flat = {}
+    torch_like = {}
+    for k, v in norm_state.items():
+        if ('lora_a' in k or 'lora_b' in k or 'proj_out_means' in k
+                or 'proj_out_logweights' in k or 'proj_out_loggamma' in k
+                or 'norm_out' in k or 'modulation' in k):
+            kk = k.replace('.weight', '.kernel')
+            if kk.endswith('.kernel'):
+                arr = np.asarray(v)
+                if arr.ndim >= 2:
+                    arr = arr.swapaxes(-1, -2)
+                flat[kk] = arr
+            else:
+                flat[kk] = np.asarray(v)
+        else:
+            torch_like[k] = v
+    tree = unflatten(flat) if flat else {}
+    if torch_like:
+        conv, _ = torch_flux_to_flax(
+            torch_like,
+            num_layers=_max_block_index(torch_like, 'transformer_blocks') + 1,
+            num_single_layers=_max_block_index(
+                torch_like, 'single_transformer_blocks') + 1,
+            family=family)
+        from ..utils.pytree import merge_params
+        tree = merge_params(tree, conv)
+    return tree, policy_config
+
+
+def _max_block_index(state: Dict, prefix: str) -> int:
+    idx = -1
+    for k in state:
+        if k.startswith(prefix + '.'):
+            idx = max(idx, int(k.split('.')[1]))
+    return idx

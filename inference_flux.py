@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""2-NFE ArcFlow-FLUX inference CLI (reference ``inference_flux.py``).
+
+Offline usage (local model folders):
+  python inference_flux.py --model-dir <flux_dir> --adapter <adapter.safetensors> \
+      --prompt "a photo of a cat" --out out.png
+"""
+
+import argparse
+
+from arcflow_tpu.utils import setup_jax
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--model-dir', required=True,
+                   help='local diffusers-style FLUX transformer folder')
+    p.add_argument('--adapter', default=None,
+                   help='exported ArcFlow adapter safetensors')
+    p.add_argument('--vae-dir', default=None)
+    p.add_argument('--prompt', default='a photo of an astronaut riding a '
+                                       'horse on the moon')
+    p.add_argument('--height', type=int, default=1024)
+    p.add_argument('--width', type=int, default=1024)
+    p.add_argument('--nfe', type=int, default=2)
+    p.add_argument('--temperature', type=float, default=1.0)
+    p.add_argument('--guidance', type=float, default=3.5)
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--out', default='output.png')
+    args = p.parse_args()
+
+    setup_jax()
+    from arcflow_tpu.models import PretrainedFluxTextEncoder
+    from arcflow_tpu.pipelines import ArcFluxPipeline
+
+    pipe = ArcFluxPipeline.from_pretrained(
+        args.model_dir, text_encoder=PretrainedFluxTextEncoder(),
+        nfe=args.nfe, temperature=args.temperature,
+        guidance_scale=args.guidance)
+    if args.adapter:
+        pipe.load_arcflow_adapter(args.adapter)
+    out = pipe(prompt=[args.prompt], height=args.height, width=args.width,
+               seed=args.seed, output_type='pil')
+    out['images'][0].save(args.out)
+    print(f'saved {args.out}')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,38 @@
+#!/usr/bin/env python
+"""2-NFE ArcFlow-Qwen-Image inference CLI (reference ``inference_qwen.py``)."""
+
+import argparse
+
+from arcflow_tpu.utils import setup_jax
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--model-dir', required=True)
+    p.add_argument('--adapter', default=None)
+    p.add_argument('--prompt', default='a serene mountain lake at sunrise')
+    p.add_argument('--height', type=int, default=1024)
+    p.add_argument('--width', type=int, default=1024)
+    p.add_argument('--nfe', type=int, default=2)
+    p.add_argument('--temperature', type=float, default=1.0)
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--out', default='output.png')
+    args = p.parse_args()
+
+    setup_jax()
+    from arcflow_tpu.models import PretrainedQwenImageTextEncoder
+    from arcflow_tpu.pipelines import ArcQwenImagePipeline
+
+    pipe = ArcQwenImagePipeline.from_pretrained(
+        args.model_dir, text_encoder=PretrainedQwenImageTextEncoder(),
+        nfe=args.nfe, temperature=args.temperature)
+    if args.adapter:
+        pipe.load_arcflow_adapter(args.adapter, )
+    out = pipe(prompt=[args.prompt], height=args.height, width=args.width,
+               seed=args.seed, output_type='pil')
+    out['images'][0].save(args.out)
+    print(f'saved {args.out}')
+
+
+if __name__ == '__main__':
+    main()
