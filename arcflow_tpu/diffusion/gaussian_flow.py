@@ -205,9 +205,11 @@ class GaussianFlow:
         ori_dtype = noise.dtype
         x = jnp.asarray(noise, jnp.float32)
         num_batches = x.shape[0]
+        stateful = getattr(scheduler, 'stateful', False)
+        sched_state0 = scheduler.init_state(x) if stateful else 0.0
 
         def step_body(carry, inp):
-            x, rng = carry
+            x, rng, sched_state = carry
             sigma, sigma_next = inp
             rng, rng_step = jax.random.split(rng)
             t = jnp.broadcast_to(sigma * self.num_timesteps, (num_batches,))
@@ -222,12 +224,18 @@ class GaussianFlow:
                 bias = apply_guidance(pos, neg, guidance_scale, orthogonal)
                 active = (t >= interval[0]) & (t <= interval[1])
                 out = pos + jnp.where(_bview(active, bias.ndim), bias, 0.0)
-            x = scheduler.step(out, x, sigma, sigma_next,
-                               prediction_type=prediction_type, rng=rng_step)
-            return (x, rng), None
+            if stateful:
+                x, sched_state = scheduler.step_with_state(
+                    out, x, sigma, sigma_next, sched_state,
+                    prediction_type=prediction_type, rng=rng_step)
+            else:
+                x = scheduler.step(out, x, sigma, sigma_next,
+                                   prediction_type=prediction_type,
+                                   rng=rng_step)
+            return (x, rng, sched_state), None
 
-        (x, _), _ = jax.lax.scan(
-            step_body, (x, rng), (sigmas[:-1], sigmas[1:]))
+        (x, _, _), _ = jax.lax.scan(
+            step_body, (x, rng, sched_state0), (sigmas[:-1], sigmas[1:]))
         return x.astype(ori_dtype)
 
     # ---- dispatch (parity with reference forward()) ----------------------------

@@ -12,6 +12,8 @@ from .vae import (PretrainedVAE, PretrainedVAEDecoder, PretrainedVAEEncoder,
 from .text_encoders import (PretrainedFluxTextEncoder,
                             PretrainedQwenImageTextEncoder,
                             PretrainedStableDiffusion3TextEncoder)
+from .unet import DenoisingUnetMod
+from .class_image import LatentDiffusionClassImage
 from .latent_diffusion import LatentDiffusionTextImage
 
 __all__ = ['ToyMLPDenoiser', 'ToyArcFlowDenoiser', 'ToyGMFlowDenoiser',
@@ -24,4 +26,5 @@ __all__ = ['ToyMLPDenoiser', 'ToyArcFlowDenoiser', 'ToyGMFlowDenoiser',
            'PretrainedVAE', 'PretrainedVAEDecoder', 'PretrainedVAEEncoder',
            'PretrainedVAEQwenImage', 'PretrainedFluxTextEncoder',
            'PretrainedQwenImageTextEncoder',
-           'PretrainedStableDiffusion3TextEncoder']
+           'PretrainedStableDiffusion3TextEncoder',
+           'DenoisingUnetMod', 'LatentDiffusionClassImage']

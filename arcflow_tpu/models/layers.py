@@ -206,13 +206,33 @@ def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
 
 # ---- attention -----------------------------------------------------------------
 
+_FLASH_MIN_SEQ = 1024   # below this XLA's fused attention wins on dispatch
+
+
+def _flash_ok(q: Array, mask) -> bool:
+    b, s, h, d = q.shape
+    return (mask is None and jax.default_backend() == 'tpu'
+            and s >= _FLASH_MIN_SEQ and s % 512 == 0 and d % 128 == 0)
+
+
 def attention(q: Array, k: Array, v: Array,
               mask: Optional[Array] = None) -> Array:
     """Scaled dot-product attention on (B, S, H, D) tensors.
 
-    Wraps jax.nn.dot_product_attention (XLA-fused; swaps for a Pallas flash
-    kernel under the same signature). Softmax accumulates in fp32.
+    Long unmasked sequences (the 4608-token FLUX joint attention) route
+    through the Pallas TPU flash-attention kernel (tiled online-softmax, no
+    S x S materialization); everything else uses jax.nn.dot_product_attention
+    (XLA-fused). Softmax accumulates in fp32 on both paths.
     """
+    if _flash_ok(q, mask):
+        from jax.experimental.pallas.ops.tpu.flash_attention import \
+            flash_attention
+        d = q.shape[-1]
+        scale = 1.0 / (d ** 0.5)
+        # (B, S, H, D) -> (B, H, S, D)
+        qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+        out = flash_attention(qt, kt, vt, causal=False, sm_scale=scale)
+        return out.transpose(0, 2, 1, 3).astype(q.dtype)
     return jax.nn.dot_product_attention(q, k, v, mask=mask)
 
 
