@@ -15,7 +15,7 @@ from typing import Optional
 import jax
 import numpy as np
 
-from ..config import Config
+from ..config import Config  # noqa: F401
 from ..registry import MODELS
 from ..data import build_dataloader, build_dataset
 from ..runner import (CheckpointHook, CheckpointManager, EmaConfig,
@@ -55,6 +55,21 @@ def train_model(cfg: Config, work_dir: Optional[str] = None,
     state = TrainState.create(rng, trainable, frozen, optimizers,
                               ema_keys=model.ema_keys)
 
+    # config-driven mesh parallelism (the reference's DDP/FSDP wrapper config
+    # surface, SURVEY.md §2.4): parallel = dict(mesh=dict(data=2, fsdp=-1),
+    # tensor_axis='tensor', min_shard_size=65536)
+    mesh = None
+    parallel_cfg = dict(cfg.get('parallel', {}) or {})
+    if parallel_cfg.get('mesh'):
+        from ..parallel import make_mesh, shard_state
+        mesh = make_mesh(dict(parallel_cfg['mesh']))
+        state, _ = shard_state(
+            state, mesh,
+            fsdp_axis=parallel_cfg.get('fsdp_axis', 'fsdp'),
+            tensor_axis=parallel_cfg.get('tensor_axis'),
+            min_size=parallel_cfg.get('min_shard_size', 2 ** 16))
+        logger.info(f'mesh parallelism: {dict(mesh.shape)}')
+
     ckpt_cfg = dict(cfg.get('checkpoint_config', {}) or {})
     out_dir = ckpt_cfg.pop('out_dir', os.path.join(work_dir, 'checkpoints'))
     name = cfg.get('name', 'default')
@@ -87,14 +102,39 @@ def train_model(cfg: Config, work_dir: Optional[str] = None,
         grad_accum_steps=grad_accum_steps)
 
     dataset = build_dataset(data_cfg['train'])
-    loader = build_dataloader(dataset, samples_per_gpu, seed=seed,
-                              start_iter=int(state.step))
+    global_bs = samples_per_gpu * (mesh.shape.get('data', 1) if mesh else 1)
+    if getattr(dataset, 'bucket_ids', None) is not None and \
+            len(np.unique(dataset.bucket_ids)) > 1:
+        from ..data import build_bucketized_loader
+        loader = build_bucketized_loader(dataset, global_bs, seed=seed,
+                                         start_iter=int(state.step))
+    else:
+        loader = build_dataloader(dataset, global_bs, seed=seed,
+                                  start_iter=int(state.step))
+    if mesh is not None:
+        from ..parallel import shard_batch
+        base_loader = loader
 
-    hooks = build_hooks(cfg.get('log_config'),
-                        extra_hooks=[QuartileLossLoggerHook(
-                            total_timesteps=cfg.model.diffusion.get(
-                                'num_timesteps', 1000)),
-                            CheckpointHook(manager)])
+        def sharded_loader():
+            for batch in base_loader:
+                yield shard_batch(batch, mesh, axis='data')
+        loader = sharded_loader()
+
+    extra_hooks = [QuartileLossLoggerHook(
+        total_timesteps=cfg.model.diffusion.get('num_timesteps', 1000)),
+        CheckpointHook(manager)]
+    eval_cfg = cfg.get('evaluation')
+    if eval_cfg:
+        from ..runner.hooks import EvalHook
+        if isinstance(eval_cfg, dict):
+            eval_cfg = [eval_cfg]
+        for e_cfg in eval_cfg:
+            e_cfg = {k: v for k, v in dict(e_cfg).items() if k != 'type'}
+            extra_hooks.append(EvalHook(**e_cfg))
+    if cfg.get('profiler'):
+        from ..runner.hooks import ProfilerHook
+        extra_hooks.append(ProfilerHook(**dict(cfg.profiler)))
+    hooks = build_hooks(cfg.get('log_config'), extra_hooks=extra_hooks)
 
     total = max_iters or cfg.get('total_iters', 10000)
     runner = IterBasedRunner(model, state, train_step, loader, total,

@@ -7,7 +7,8 @@ from .train_state import TrainState, count_params
 from .train_step import build_train_step
 from .checkpoint import CheckpointManager
 from .hooks import (Hook, TextLoggerHook, JsonLoggerHook,
-                    QuartileLossLoggerHook, CheckpointHook, build_logger)
+                    QuartileLossLoggerHook, CheckpointHook, EvalHook,
+                    ProfilerHook, build_logger)
 from .runner import IterBasedRunner, build_hooks
 
 __all__ = [
@@ -16,5 +17,6 @@ __all__ = [
     'EmaConfig', 'ema_update', 'ema_momentum',
     'TrainState', 'count_params', 'build_train_step', 'CheckpointManager',
     'Hook', 'TextLoggerHook', 'JsonLoggerHook', 'QuartileLossLoggerHook',
-    'CheckpointHook', 'build_logger', 'IterBasedRunner', 'build_hooks',
+    'CheckpointHook', 'EvalHook', 'ProfilerHook', 'build_logger',
+    'IterBasedRunner', 'build_hooks',
 ]

@@ -135,6 +135,78 @@ class QuartileLossLoggerHook(Hook):
 
 
 @HOOKS.register_module()
+class EvalHook(Hook):
+    """Periodic validation sampling (reference eval hooks registered from the
+    config's ``evaluation`` block, apis/train.py:126-139): runs
+    ``model.val_step`` on a fixed batch, writes sample artifacts to
+    work_dir/eval, logs summary stats."""
+
+    priority = 60
+
+    def __init__(self, interval: int = 1000, batch: Optional[dict] = None,
+                 num_samples: int = 64, val_kwargs: Optional[dict] = None):
+        self.interval = interval
+        self.batch = batch
+        self.num_samples = num_samples
+        self.val_kwargs = val_kwargs or {}
+
+    def after_train_iter(self, runner):
+        if runner.iter % self.interval != 0:
+            return
+        import jax
+        batch = self.batch if self.batch is not None \
+            else dict(num_samples=self.num_samples)
+        out = runner.model.val_step(runner.state,
+                                    jax.random.PRNGKey(runner.iter), batch,
+                                    **self.val_kwargs)
+        out_dir = os.path.join(runner.work_dir, 'eval')
+        os.makedirs(out_dir, exist_ok=True)
+        if isinstance(out, dict) and 'pred_imgs' in out:
+            from ..utils.io_utils import save_image_grid
+            save_image_grid(np.asarray(out['pred_imgs']),
+                            os.path.join(out_dir, f'iter_{runner.iter}.png'))
+        else:
+            arr = np.asarray(out['pred_latents']) if isinstance(out, dict) \
+                else np.asarray(out)
+            np.savez(os.path.join(out_dir, f'iter_{runner.iter}.npz'),
+                     samples=arr)
+            runner.log_buffer['eval_sample_std'] = float(arr.std())
+        runner.logger.info(f'eval @ iter {runner.iter} written to {out_dir}')
+
+
+@HOOKS.register_module()
+class ProfilerHook(Hook):
+    """Capture a jax.profiler trace for a window of iterations (the TPU
+    equivalent of the reference's IterTimer section timers, SURVEY.md §5)."""
+
+    def __init__(self, start_iter: int = 10, num_iters: int = 5,
+                 out_dir: Optional[str] = None):
+        self.start_iter = start_iter
+        self.stop_iter = start_iter + num_iters
+        self.out_dir = out_dir
+        self._active = False
+
+    def after_train_iter(self, runner):
+        import jax
+        if runner.iter == self.start_iter and not self._active:
+            out = self.out_dir or os.path.join(runner.work_dir, 'profile')
+            os.makedirs(out, exist_ok=True)
+            jax.profiler.start_trace(out)
+            self._active = True
+            runner.logger.info(f'profiler trace started -> {out}')
+        elif runner.iter >= self.stop_iter and self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+            runner.logger.info('profiler trace stopped')
+
+    def after_run(self, runner):
+        if self._active:
+            import jax
+            jax.profiler.stop_trace()
+            self._active = False
+
+
+@HOOKS.register_module()
 class CheckpointHook(Hook):
     """Drives the CheckpointManager on its interval; final forced save."""
 

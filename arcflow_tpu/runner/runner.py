@@ -54,7 +54,10 @@ class IterBasedRunner:
         try:
             while int(self.state.step) < self.total_iters:
                 batch = next(self.data_iter)
-                batch = jax.tree.map(np.asarray, batch)
+                # host numpy -> device; already-placed (sharded) arrays pass
+                batch = jax.tree.map(
+                    lambda x: x if isinstance(x, jax.Array) else np.asarray(x),
+                    batch)
                 self.state, logs = self.train_step_fn(self.state, batch)
                 self.log_buffer = dict(logs)
                 self.call_hook('after_train_iter')
