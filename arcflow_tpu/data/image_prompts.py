@@ -168,6 +168,53 @@ class ImagePrompt:
                         pek['encoder_hidden_states_mask'][:self.pad_seq_len]
         return pek
 
+    def getitems(self, indices) -> list:
+        """Batched fetch: the native loader reads + zstd-decompresses all
+        records in parallel with the GIL released (C++ core in
+        ``_fastloader``); python unpickles the already-decoded bytes."""
+        if self.cache_dir is None:
+            return [self[int(i)] for i in indices]
+        from ._fastloader import get_fastloader
+        fast = get_fastloader()
+        if fast is None:
+            return [self[int(i)] for i in indices]
+        paths = [os.path.join(self.cache_dir,
+                              f'{self.datalist[self._map_idx(int(i))]["name"]}.zst')
+                 for i in indices]
+        blobs = fast.load_batch(paths, num_threads=0, decompress=True)
+        return [self._build_item(int(i), pickle.loads(blob))
+                for i, blob in zip(indices, blobs)]
+
+    def _build_item(self, idx: int, raw: dict) -> dict:
+        """Assemble one sample from a decoded cache record."""
+        rec = self.datalist[self._map_idx(idx)]
+        data: Dict[str, Any] = dict(
+            ids=idx, name=raw.get('prompt', rec['name']),
+            prompt_embed_kwargs=self.parse_prompt_embeds(raw))
+        if not self.ignore_cached_latents:
+            if 'latents' in raw:
+                latents = _chw_to_hwc(_to_numpy(raw['latents']))
+                if self.test_mode:
+                    data['noise'] = np.random.default_rng(idx).standard_normal(
+                        latents.shape).astype(np.float32)
+                else:
+                    scale = raw.get('latents_scale')
+                    data['latents'] = latents * scale if scale is not None \
+                        else latents
+            else:
+                size = tuple(raw.get('latent_size', self.latent_size))
+                if self.test_mode:
+                    data['noise'] = np.random.default_rng(idx).standard_normal(
+                        size).astype(np.float32)
+                else:
+                    data['latents'] = np.zeros(size, np.float32)
+        if self.negative_prompt_embed_kwargs is not None:
+            data['negative_prompt_embed_kwargs'] = \
+                self.negative_prompt_embed_kwargs
+        if self.negative_prompt is not None:
+            data['negative_prompt_kwargs'] = dict(prompt=self.negative_prompt)
+        return data
+
     def __getitem__(self, idx: int) -> dict:
         mapped = self._map_idx(idx)
         rec = self.datalist[mapped]
@@ -178,26 +225,7 @@ class ImagePrompt:
             with open(path, 'rb') as fh:
                 with zstd.ZstdDecompressor().stream_reader(fh) as f:
                     raw = pickle.load(f)
-            data: Dict[str, Any] = dict(
-                ids=idx, name=raw.get('prompt', rec['name']),
-                prompt_embed_kwargs=self.parse_prompt_embeds(raw))
-            if not self.ignore_cached_latents:
-                if 'latents' in raw:
-                    latents = _chw_to_hwc(_to_numpy(raw['latents']))
-                    if self.test_mode:
-                        data['noise'] = np.random.default_rng(idx).standard_normal(
-                            latents.shape).astype(np.float32)
-                    else:
-                        scale = raw.get('latents_scale')
-                        data['latents'] = latents * scale if scale is not None \
-                            else latents
-                else:
-                    size = tuple(raw.get('latent_size', self.latent_size))
-                    if self.test_mode:
-                        data['noise'] = np.random.default_rng(idx).standard_normal(
-                            size).astype(np.float32)
-                    else:
-                        data['latents'] = np.zeros(size, np.float32)
+            return self._build_item(idx, raw)
         else:
             prompt = rec['prompt']
             data = dict(ids=idx, name=prompt,

@@ -69,17 +69,14 @@ class BucketizedBatchSampler:
 
 def build_bucketized_loader(dataset, batch_size: int, num_replicas: int = 1,
                             rank: int = 0, seed: int = 0, start_iter: int = 0,
-                            shuffle: bool = True):
-    """Batch iterator honoring dataset.bucket_ids (falls back to one bucket)."""
-    from .builder import collate
+                            shuffle: bool = True, prefetch_depth: int = 2):
+    """Batch iterator honoring dataset.bucket_ids (falls back to one bucket),
+    with native batched decode + background prefetch."""
     bucket_ids = getattr(dataset, 'bucket_ids', None)
     if bucket_ids is None:
         bucket_ids = np.zeros(len(dataset), np.int64)
     sampler = BucketizedBatchSampler(bucket_ids, batch_size, num_replicas,
                                      rank, seed, shuffle)
-
-    def gen():
-        for idx in sampler.iter_batches(start_iter):
-            yield collate([dataset[int(i)] for i in idx])
-
-    return gen()
+    from .prefetch import batched_index_loader
+    return batched_index_loader(dataset, sampler.iter_batches(start_iter),
+                                prefetch_depth=prefetch_depth)
