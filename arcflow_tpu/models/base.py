@@ -75,7 +75,7 @@ class Diffusion2D(BaseModel):
         return {'diffusion': params}, {}
 
     def loss(self, trainable, frozen, rng, batch, running_status=None):
-        x_0 = batch['x']
+        x_0 = jnp.reshape(batch['x'], (-1, *self.data_shape))
         loss, log_vars = self.diffusion.forward_train(
             trainable['diffusion'], rng, x_0, running_status=running_status)
         return loss, log_vars
@@ -144,7 +144,7 @@ class Distillation2D(BaseModel):
         return fn
 
     def loss(self, trainable, frozen, rng, batch, running_status=None):
-        x_0 = batch['x']
+        x_0 = jnp.reshape(batch['x'], (-1, *self.data_shape))
         return multistep_train_loss(
             self.diffusion, trainable['diffusion'], rng, x_0,
             teacher_fn=self.teacher_fn(frozen), running_status=running_status)

@@ -87,6 +87,24 @@ def build(num_layers, num_single_layers, latent=128, txt=512, k=16):
     return fn, args, model
 
 
+def bench_vae_decode(latent=128, iters=4):
+    """VAE decode cost at 1024px (flax AutoencoderKL decoder; random weights
+    cost the same FLOPs as real ones)."""
+    from arcflow_tpu.models import PretrainedVAEDecoder
+    vae = PretrainedVAEDecoder(latent_channels=16, dtype='bfloat16')
+    params = jax.jit(vae.init_params, static_argnums=(1,))(
+        jax.random.PRNGKey(0), latent * 8)
+    decode = jax.jit(lambda p, z: vae.decode(p, z))
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, latent, latent, 16))
+    img = decode(params, z)
+    _ = float(jnp.sum(img))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        img = decode(params, z)
+    _ = float(jnp.sum(img))
+    return (time.perf_counter() - t0) / iters
+
+
 def try_bench(layers, single_layers, iters=8):
     fn, args, model = build(layers, single_layers)
     n_params = sum(x.size for x in jax.tree.leaves(args[0]))
@@ -126,19 +144,29 @@ def main():
                               value=0.0, unit='img/s', vs_baseline=0.0)))
         return
 
-    imgs_per_sec = 1.0 / per_img
-    # FLOP-scale to the full 12B geometry (depth-proportional cost)
+    try:
+        vae_decode_s = bench_vae_decode()
+        log(f'VAE decode (1024px): {vae_decode_s * 1000:.1f} ms')
+    except Exception as e:   # noqa: BLE001
+        log(f'VAE decode bench failed ({type(e).__name__}); excluding')
+        vae_decode_s = 0.0
+
+    e2e = per_img + vae_decode_s
+    imgs_per_sec = 1.0 / e2e
+    # FLOP-scale the transformer part to the full 12B geometry
     full_cost_ratio = (19 * 36 + 38 * 15) / (layers * 36 + single * 15)
-    imgs_per_sec_12b = imgs_per_sec / full_cost_ratio
-    target = 0.125  # north star: <1 s on v5p-8 => 0.125 img/s/chip
+    e2e_12b = per_img * full_cost_ratio + vae_decode_s
+    target = 0.125  # north star: <1 s e2e on v5p-8 => 0.125 img/s/chip
     result = dict(
-        metric='images/sec/chip, 1024px 2-NFE ArcFlux transformer '
-               f'({layers}j+{single}s blocks, {n_params / 1e9:.2f}B params; '
-               f'12B-geometry extrapolation {imgs_per_sec_12b:.3f})',
+        metric='images/sec/chip, 1024px 2-NFE e2e (ArcFlux transformer '
+               f'{layers}j+{single}s blocks {n_params / 1e9:.2f}B params '
+               f'+ VAE decode {vae_decode_s * 1000:.0f}ms; 12B-geometry '
+               f'extrapolation {1.0 / e2e_12b:.3f} img/s)',
         value=round(imgs_per_sec, 4),
         unit='img/s/chip',
-        vs_baseline=round(imgs_per_sec_12b / target, 3))
-    log(f"per-image: {per_img * 1000:.1f} ms")
+        vs_baseline=round((1.0 / e2e_12b) / target, 3))
+    log(f'transformer per-image: {per_img * 1000:.1f} ms; '
+        f'e2e: {e2e * 1000:.1f} ms')
     print(json.dumps(result))
 
 
