@@ -102,15 +102,21 @@ def train_model(cfg: Config, work_dir: Optional[str] = None,
         grad_accum_steps=grad_accum_steps)
 
     dataset = build_dataset(data_cfg['train'])
+    # multihost: each process loads its shard of the global batch
+    n_proc, proc_id = jax.process_count(), jax.process_index()
     global_bs = samples_per_gpu * (mesh.shape.get('data', 1) if mesh else 1)
+    assert global_bs % n_proc == 0, (global_bs, n_proc)
+    global_bs //= n_proc
     if getattr(dataset, 'bucket_ids', None) is not None and \
             len(np.unique(dataset.bucket_ids)) > 1:
         from ..data import build_bucketized_loader
         loader = build_bucketized_loader(dataset, global_bs, seed=seed,
-                                         start_iter=int(state.step))
+                                         start_iter=int(state.step),
+                                         num_replicas=n_proc, rank=proc_id)
     else:
         loader = build_dataloader(dataset, global_bs, seed=seed,
-                                  start_iter=int(state.step))
+                                  start_iter=int(state.step),
+                                  num_replicas=n_proc, rank=proc_id)
     if mesh is not None:
         from ..parallel import shard_batch
         base_loader = loader

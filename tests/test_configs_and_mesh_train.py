@@ -62,3 +62,12 @@ def test_mesh_parallel_training_via_api(tmp_path):
     leaves = [x for x in jax.tree.leaves(state.trainable) if x.size >= 1024]
     assert any(len(x.sharding.device_set) > 1 for x in leaves), \
         'no parameter was sharded'
+
+    # checkpoint resume under the mesh: restore into sharded state and
+    # continue training
+    cfg2 = cfg.copy()
+    cfg2.merge_from_dict({'total_iters': 40})
+    state2, _ = train_model(cfg2, seed=0)
+    assert int(state2.step) == 40
+    leaves2 = [x for x in jax.tree.leaves(state2.trainable) if x.size >= 1024]
+    assert any(len(x.sharding.device_set) > 1 for x in leaves2)
