@@ -9,7 +9,8 @@ from .arcflow import (ArcFlowImitation, ArcFlowImitationDataFree,
                       multistep_train_loss)
 from .gmflow import GMFlow, gmflow_posterior, gmflow_posterior_mean, probabilistic_guidance
 from . import schedulers
-from .schedulers import FlowEulerODEScheduler, FlowSDEScheduler
+from .schedulers import (FlowEulerODEScheduler, FlowSDEScheduler,
+                         FlowDPMSolverScheduler, FlowUniPCScheduler)
 
 __all__ = [
     'ContinuousTimeStepSampler', 'ArcFlowPolicy', 'POLICY_CLASSES',
@@ -18,5 +19,6 @@ __all__ = [
     'GaussianFlow', 'apply_guidance',
     'ArcFlowImitation', 'ArcFlowImitationDataFree', 'multistep_train_loss',
     'GMFlow', 'gmflow_posterior', 'gmflow_posterior_mean', 'probabilistic_guidance',
-    'FlowEulerODEScheduler', 'FlowSDEScheduler', 'schedulers',
+    'FlowEulerODEScheduler', 'FlowSDEScheduler', 'FlowDPMSolverScheduler',
+    'FlowUniPCScheduler', 'schedulers',
 ]

@@ -173,7 +173,8 @@ class ArcFlowImitationBase(GaussianFlow):
     def forward_test(self, params, rng: Array, noise: Array,
                      test_cfg_override: Optional[dict] = None, **kwargs) -> Array:
         """NFE-step sampling: one DiT call + analytic integration per step
-        (reference arcflow.py:211-271)."""
+        (reference arcflow.py:211-271), compiled as a single lax.scan body
+        regardless of nfe."""
         cfg = copy.deepcopy(self.test_cfg)
         cfg.update(test_cfg_override or {})
 
@@ -188,23 +189,37 @@ class ArcFlowImitationBase(GaussianFlow):
         ori_dtype = noise.dtype
         x = jnp.asarray(noise, jnp.float32)
 
-        raw_t_src = jnp.ones((num_batches,), jnp.float32)
+        # host-side raw-time grid (final segment scaled by timestep_ratio)
+        # and per-step temperatures (none on the final step)
+        raw = [1.0]
         for step_id in range(nfe):
-            is_final = step_id == nfe - 1
-            segment = base_segment_size * (timestep_ratio if is_final else 1.0)
-            raw_t_dst = raw_t_src - segment
+            seg = base_segment_size * (timestep_ratio
+                                       if step_id == nfe - 1 else 1.0)
+            raw.append(raw[-1] - seg)
+        raw = np.asarray(raw, np.float32)
+        temps = np.asarray([temperature] * (nfe - 1) + [1.0], np.float32)
 
-            sigma_t_src = self.timestep_sampler.warp_t(raw_t_src, seq_len=seq_len)
+        def body(x, inp):
+            raw_src, raw_dst, temp = inp
+            raw_src_b = jnp.broadcast_to(raw_src, (num_batches,))
+            sigma_t_src = self.timestep_sampler.warp_t(raw_src_b,
+                                                       seq_len=seq_len)
             t_src = sigma_t_src * self.num_timesteps
             denoising_output = self.pred(params, x, t_src, **kwargs)
-            policy = self.make_policy(denoising_output, x, sigma_t_src, eps=eps)
-            if not is_final:
-                policy = policy.temperature(temperature)
+            policy = self.make_policy(denoising_output, x, sigma_t_src,
+                                      eps=eps)
+            # traced per-step temperature (1.0 on the final step)
+            policy = policy.replace(
+                logweights=policy.logweights / jnp.maximum(temp, eps))
+            sigma_t_dst = self.timestep_sampler.warp_t(
+                jnp.broadcast_to(raw_dst, (num_batches,)), seq_len=seq_len)
+            x = momentum_integration(policy, x, sigma_t_src, sigma_t_dst,
+                                     eps=1e-4)
+            return x, None
 
-            sigma_t_dst = self.timestep_sampler.warp_t(raw_t_dst, seq_len=seq_len)
-            x = momentum_integration(policy, x, sigma_t_src, sigma_t_dst, eps=1e-4)
-            raw_t_src = raw_t_dst
-
+        x, _ = jax.lax.scan(body, x, (jnp.asarray(raw[:-1]),
+                                      jnp.asarray(raw[1:]),
+                                      jnp.asarray(temps)))
         return x.astype(ori_dtype)
 
 

@@ -24,6 +24,8 @@ Array = jax.Array
 
 
 @SCHEDULERS.register_module()
+@SCHEDULERS.register_module(name='FlowAdapterScheduler')  # reference alias:
+# the reference's FlowAdapterScheduler wraps diffusers DPM-Solver by default
 @dataclasses.dataclass(frozen=True)
 class FlowDPMSolverScheduler(FlowEulerODEScheduler):
     """Multistep DPM-Solver++ on the flow parameterization.
