@@ -1,0 +1,44 @@
+"""Driver-contract test: dryrun_multichip must self-force the simulated
+platform in a fresh process (no conftest), exactly as the driver invokes it.
+
+Round-1 failure mode: the axon sitecustomize overrides JAX_PLATFORMS=cpu via
+jax.config, so the driver's 8 simulated CPU devices never materialized and
+the dryrun saw 1 real device (MULTICHIP_r01.json). `_ensure_devices` must
+undo that override before any backend initialization.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(env_extra, code):
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('XLA_FLAGS', 'JAX_PLATFORMS', 'JAX_NUM_CPU_DEVICES')}
+    env.update(env_extra)
+    return subprocess.run([sys.executable, '-c', code], cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=1200)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_fresh_subprocess_driver_env():
+    """The driver's exact env: XLA count flag + JAX_PLATFORMS=cpu."""
+    r = _run(
+        {'XLA_FLAGS': '--xla_force_host_platform_device_count=8',
+         'JAX_PLATFORMS': 'cpu'},
+        'import __graft_entry__ as g; g.dryrun_multichip(8)')
+    assert r.returncode == 0, f'stdout={r.stdout}\nstderr={r.stderr}'
+    assert 'dryrun_multichip(8) OK' in r.stdout
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_no_env_flags():
+    """No env hints at all: _ensure_devices must still simulate 8 devices
+    rather than dying on the single local device."""
+    r = _run({}, 'import __graft_entry__ as g; g.dryrun_multichip(8)')
+    assert r.returncode == 0, f'stdout={r.stdout}\nstderr={r.stderr}'
+    assert 'dryrun_multichip(8) OK' in r.stdout
