@@ -49,6 +49,27 @@ class LatentDiffusionTextImage(BaseModel):
                  max_text_len: int = 512,
                  train_cfg=None, test_cfg=None):
         super().__init__(train_cfg, test_cfg)
+        # `pretrained=` on the denoising cfg loads real (converted diffusers)
+        # weights at init_params time — the reference's in-__init__ HF load
+        # (arcflux.py:318-357); flax modules are static so the path is kept
+        # on the composition object instead.
+        diffusion = dict(diffusion)
+        denoising_cfg = dict(diffusion.get('denoising') or {})
+        self.pretrained = denoising_cfg.pop('pretrained', None)
+        self.pretrained_adapter = denoising_cfg.pop('pretrained_adapter', None)
+        if diffusion.get('denoising'):
+            diffusion['denoising'] = denoising_cfg
+        if teacher:
+            teacher = dict(teacher)
+            t_denoising = dict(teacher.get('denoising') or {})
+            # with tie_teacher the single student-side load covers the shared
+            # trunk; an untied teacher loads the same checkpoint separately
+            self.teacher_pretrained = t_denoising.pop('pretrained', None) \
+                or self.pretrained
+            if teacher.get('denoising'):
+                teacher['denoising'] = t_denoising
+        else:
+            self.teacher_pretrained = None
         self.diffusion = build_module(
             diffusion, default_args=dict(train_cfg=self.train_cfg,
                                          test_cfg=self.test_cfg))
@@ -79,15 +100,82 @@ class LatentDiffusionTextImage(BaseModel):
             guidance=jnp.zeros((1,)) if getattr(
                 self.diffusion.denoising, 'guidance_embeds', False) else None)
 
+    @property
+    def _family(self) -> str:
+        return 'qwen' if 'Qwen' in type(self.diffusion.denoising).__name__ \
+            else 'flux'
+
+    def _load_pretrained_tree(self, path: str):
+        """Load + convert a diffusers-format checkpoint (local safetensors
+        dir / file / sharded index.json) to the flax naming, matching the
+        reference's sharded-index loader (runner/checkpoint.py:241-278)."""
+        from ..pipelines.convert import load_safetensors_state, torch_flux_to_flax
+        den = self.diffusion.denoising
+        state = load_safetensors_state(path)
+        converted, unused = torch_flux_to_flax(
+            state, num_layers=den.num_layers,
+            num_single_layers=getattr(den, 'num_single_layers', 0),
+            family=self._family, patch_size=den.patch_size,
+            num_gaussians=getattr(den, 'num_gaussians', None))
+        unexpected = [k for k in unused if not k.startswith(
+            ('vae.', 'text_encoder', 'scheduler'))]
+        if unexpected:
+            raise ValueError(
+                f'{len(unexpected)} unconvertible checkpoint keys, e.g. '
+                f'{sorted(unexpected)[:5]}')
+        return converted
+
     def init_params(self, rng):
-        rng_s, rng_t = jax.random.split(rng)
+        rng_s, rng_t, rng_noise = jax.random.split(rng, 3)
         dummy = {k: v for k, v in self._dummy_inputs().items() if v is not None}
         student_full = self.diffusion.denoising.init(rng_s, **dummy)['params']
+
+        converted = None
+        if self.pretrained is not None:
+            from ..pipelines.convert import (expand_proj_out_to_arc_heads,
+                                             graft_pretrained)
+            converted = self._load_pretrained_tree(self.pretrained)
+            # teacher proj_out -> K-way means head with seeded bias noise
+            # (reference arcflux.py:327-341); logweights/loggamma heads and
+            # LoRA keep their designed init, so they land in `missing`.
+            den = self.diffusion.denoising
+            expanded = expand_proj_out_to_arc_heads(
+                converted, num_gaussians=den.num_gaussians,
+                patch_size=den.patch_size, rng=rng_noise)
+            student_full, missing, unexpected = graft_pretrained(
+                student_full, expanded)
+            if unexpected:
+                raise ValueError(f'pretrained keys not in the student: '
+                                 f'{sorted(unexpected)[:5]}')
+            if self.pretrained_adapter is not None:
+                from ..pipelines.convert import fuse_lora
+                from ..pipelines.loader import load_adapter_state
+                adapter_tree, _ = load_adapter_state(
+                    self.pretrained_adapter, family=self._family)
+                # base-override keys merge in; loaded LoRA deltas fuse into
+                # the base kernels and unload (reference arcflux.py:342-355);
+                # the new student's own fresh-init LoRA leaves re-attach on
+                # top (their fused delta is zero: lora_b inits to zeros).
+                fused = fuse_lora(merge_params(student_full, adapter_tree))
+                fresh_lora, _ = partition_params(student_full, ('lora',))
+                student_full = merge_params(fused, fresh_lora)
+
         adapter, base = partition_params(student_full, self.freeze_exclude)
 
         frozen: Dict[str, Any] = {'base': base}
         if self.teacher is not None:
             teacher_full = self.teacher.denoising.init(rng_t, **dummy)['params']
+            if self.teacher_pretrained is not None:
+                from ..pipelines.convert import graft_pretrained
+                t_converted = converted if (
+                    self.teacher_pretrained == self.pretrained
+                    and converted is not None) \
+                    else self._load_pretrained_tree(self.teacher_pretrained)
+                teacher_full, _, t_unexpected = graft_pretrained(
+                    teacher_full, t_converted)
+                if t_unexpected:
+                    raise ValueError(f'pretrained keys not in the teacher: '
+                                     f'{sorted(t_unexpected)[:5]}')
             if self.tie_teacher:
                 # keep only the teacher-specific top-level head; the trunk
                 # (incl. single_blocks.proj_out) comes from the shared base

@@ -122,9 +122,66 @@ def _convert_leaf(torch_leaf: str, value: np.ndarray,
         return 'kernel', value
     if torch_leaf == 'bias':
         return 'bias', value
-    # LoRA leaves: lora_A.weight (r, in) -> lora_a (in, r);
-    # lora_B.weight (out, r) -> lora_b (r, out)
+    # peft LoRA leaves: lora_A.weight (r, in) -> lora_a (in, r);
+    # lora_B.weight (out, r) -> lora_b (r, out). Both are plain transposes.
+    if torch_leaf == 'lora_A.weight':
+        return 'lora_a', value.T
+    if torch_leaf == 'lora_B.weight':
+        return 'lora_b', value.T
     raise KeyError(torch_leaf)
+
+
+_TORCH_LEAVES = ('weight', 'bias', 'lora_A.weight', 'lora_B.weight')
+_FLAX_LEAVES = ('kernel', 'bias', 'scale', 'lora_a', 'lora_b')
+_FLAX_TO_TORCH_LEAF = {'kernel': 'weight', 'scale': 'weight', 'bias': 'bias',
+                       'lora_a': 'lora_A.weight', 'lora_b': 'lora_B.weight'}
+
+
+def _permute_packed(arr: np.ndarray, axis: int, p2: int, groups: int = 1,
+                    to_flax: bool = True) -> np.ndarray:
+    """Reorder a packed-token feature axis between layouts.
+
+    diffusers/reference FLUX packs latent tokens with feature layout
+    (c, p, p) — ``_pack_latents`` / reference arcflux.py patchify
+    ``permute(0, 1, 3, 5, 2, 4)`` — while this repo's patchify
+    (models/flux.py:239) uses (p, p, c). Weights touching the packed token
+    dim (x_embedder input, proj_out / proj_out_means output) must be
+    reordered or real checkpoints load scrambled. ``groups`` handles the
+    leading K mixture components of proj_out_means.
+    """
+    arr = np.asarray(arr)
+    n = arr.shape[axis]
+    if p2 == 1 or n % (groups * p2) != 0:
+        return arr
+    c = n // (groups * p2)
+    arr = np.moveaxis(arr, axis, 0)
+    rest = arr.shape[1:]
+    # torch->flax: split as (g, c, p2), swap to (g, p2, c); the reverse
+    # direction splits as (g, p2, c) and swaps back — the same transpose.
+    inner = (groups, c, p2) if to_flax else (groups, p2, c)
+    arr = arr.reshape(inner + rest)
+    arr = arr.transpose((0, 2, 1) + tuple(range(3, arr.ndim)))
+    arr = arr.reshape((n,) + rest)
+    return np.moveaxis(arr, 0, axis)
+
+
+# top-level keys whose weights touch the packed-token feature dim:
+# name -> ('in'|'out', uses K groups)
+_PACKED_TOUCHING = {
+    'x_embedder': ('in', False),       # flux packed-latent input
+    'img_in': ('in', False),           # qwen packed-latent input
+    'proj_out': ('out', False),        # teacher packed-latent output
+    'proj_out_means': ('out', True),   # arc means head: (K, c, p2) layout
+}
+
+
+# arc head names pass through unchanged (reference export keeps them);
+# logweights/loggamma have (K, p2) feature layout on both sides.
+_ARC_HEAD_MAP = {
+    'proj_out_means': 'proj_out_means',
+    'proj_out_logweights': 'proj_out_logweights',
+    'proj_out_loggamma': 'proj_out_loggamma',
+}
 
 
 def load_safetensors_state(path: str) -> Dict[str, np.ndarray]:
@@ -158,59 +215,92 @@ def load_safetensors_state(path: str) -> Dict[str, np.ndarray]:
     return load_one(path)
 
 
-def torch_flux_to_flax(state: Dict[str, np.ndarray],
-                       num_layers: int = 19, num_single_layers: int = 38,
-                       family: str = 'flux',
-                       dtype=np.float32) -> Tuple[Dict, Dict]:
-    """Convert a diffusers FLUX/Qwen transformer state dict to the stacked
-    flax tree. Returns (flax_tree, unused_torch_keys)."""
+def _family_maps(family: str):
     if family == 'flux':
         block_specs = [
-            ('transformer_blocks', 'joint_blocks', _FLUX_JOINT_MAP,
-             num_layers),
-            ('single_transformer_blocks', 'single_blocks', _FLUX_SINGLE_MAP,
-             num_single_layers)]
-        top_map = _FLUX_TOP_MAP
+            ('transformer_blocks', 'joint_blocks', _FLUX_JOINT_MAP),
+            ('single_transformer_blocks', 'single_blocks', _FLUX_SINGLE_MAP)]
+        top_map = dict(_FLUX_TOP_MAP, **_ARC_HEAD_MAP)
     else:
         block_specs = [('transformer_blocks', 'transformer_blocks',
-                        _QWEN_BLOCK_MAP, num_layers)]
-        top_map = _QWEN_TOP_MAP
+                        _QWEN_BLOCK_MAP)]
+        top_map = dict(_QWEN_TOP_MAP, **_ARC_HEAD_MAP)
+    return block_specs, top_map
+
+
+def _is_norm_path(torch_path: str) -> bool:
+    return ('norm_q' in torch_path or 'norm_k' in torch_path
+            or 'norm_added' in torch_path
+            or torch_path.endswith('txt_norm'))
+
+
+def torch_flux_to_flax(state: Dict[str, np.ndarray],
+                       num_layers: int = 19, num_single_layers: int = 38,
+                       family: str = 'flux', dtype=np.float32,
+                       patch_size: int = 2,
+                       num_gaussians: Optional[int] = None
+                       ) -> Tuple[Dict, Dict]:
+    """Convert a diffusers FLUX/Qwen transformer state dict to the stacked
+    flax tree. Returns (flax_tree, unused_torch_keys).
+
+    Handles plain weights, peft LoRA leaves (``lora_A.weight`` per-block ->
+    stacked ``lora_a``), and the packed-token feature reorder between the
+    reference's (c, p, p) layout and this repo's (p, p, c) — see
+    ``_permute_packed``.
+    """
+    block_specs, top_map = _family_maps(family)
+    n_blocks_of = {'transformer_blocks': num_layers,
+                   'single_transformer_blocks': num_single_layers} \
+        if family == 'flux' else {'transformer_blocks': num_layers}
+
+    p2 = patch_size * patch_size
+    if num_gaussians is None and 'proj_out_logweights.bias' in state:
+        num_gaussians = state['proj_out_logweights.bias'].shape[0] // p2
+    if num_gaussians is None and 'proj_out_logweights.weight' in state:
+        num_gaussians = state['proj_out_logweights.weight'].shape[0] // p2
 
     flat: Dict[str, np.ndarray] = {}
     used = set()
 
-    def is_norm_path(torch_path: str) -> bool:
-        return ('norm_q' in torch_path or 'norm_k' in torch_path
-                or 'norm_added' in torch_path
-                or torch_path.endswith('txt_norm'))
-
     # stacked blocks
-    for torch_prefix, flax_prefix, mapping, n_blocks in block_specs:
+    for torch_prefix, flax_prefix, mapping in block_specs:
+        n_blocks = n_blocks_of[torch_prefix]
         for t_sub, f_sub in mapping.items():
-            for leaf in ('weight', 'bias'):
+            for leaf in _TORCH_LEAVES:
                 keys = [f'{torch_prefix}.{i}.{t_sub}.{leaf}'
                         for i in range(n_blocks)]
-                if keys[0] not in state:
+                present = [k in state for k in keys]
+                if not any(present):
                     continue
-                vals = [state[k] for k in keys]
+                if not all(present):
+                    raise KeyError(
+                        f'{torch_prefix}.*.{t_sub}.{leaf}: present for only '
+                        f'{sum(present)}/{n_blocks} blocks — cannot stack')
                 used.update(keys)
-                f_leaf, v0 = _convert_leaf(leaf, vals[0],
-                                           is_norm_path(t_sub))
+                f_leaf = _convert_leaf(leaf, state[keys[0]],
+                                       _is_norm_path(t_sub))[0]
                 stacked = np.stack(
-                    [_convert_leaf(leaf, v, is_norm_path(t_sub))[1]
-                     for v in vals]).astype(dtype)
+                    [_convert_leaf(leaf, state[k], _is_norm_path(t_sub))[1]
+                     for k in keys]).astype(dtype)
                 flat[f'{flax_prefix}.{f_sub}.{f_leaf}'] = stacked
 
     # top-level
     for t_sub, f_sub in top_map.items():
-        for leaf in ('weight', 'bias'):
+        for leaf in _TORCH_LEAVES:
             key = f'{t_sub}.{leaf}'
             if key not in state:
                 continue
             used.add(key)
-            f_leaf, v = _convert_leaf(leaf, state[key],
-                                      is_norm_path(t_sub))
-            flat[f'{f_sub}.{f_leaf}'] = v.astype(dtype)
+            f_leaf, v = _convert_leaf(leaf, state[key], _is_norm_path(t_sub))
+            if t_sub in _PACKED_TOUCHING and f_leaf in ('kernel', 'bias'):
+                io, has_k = _PACKED_TOUCHING[t_sub]
+                groups = (num_gaussians or 1) if has_k else 1
+                if f_leaf == 'kernel':
+                    axis = 0 if io == 'in' else v.ndim - 1
+                    v = _permute_packed(v, axis, p2, groups, to_flax=True)
+                elif io == 'out':   # bias only exists on the output side
+                    v = _permute_packed(v, 0, p2, groups, to_flax=True)
+            flat[f'{f_sub}.{f_leaf}'] = np.asarray(v).astype(dtype)
 
     unused = {k: v for k, v in state.items() if k not in used}
     return unflatten(flat), unused
@@ -249,35 +339,36 @@ def expand_proj_out_to_arc_heads(flax_tree: Dict, num_gaussians: int,
     return unflatten(flat)
 
 
-def flax_to_torch_flux(flax_tree: Dict, family: str = 'flux'
+def flax_to_torch_flux(flax_tree: Dict, family: str = 'flux',
+                       patch_size: int = 2,
+                       num_gaussians: Optional[int] = None
                        ) -> Dict[str, np.ndarray]:
-    """Reverse conversion for export (stacked flax -> per-block torch keys)."""
-    if family == 'flux':
-        block_specs = [
-            ('transformer_blocks', 'joint_blocks', _FLUX_JOINT_MAP),
-            ('single_transformer_blocks', 'single_blocks', _FLUX_SINGLE_MAP)]
-        top_map = _FLUX_TOP_MAP
-    else:
-        block_specs = [('transformer_blocks', 'transformer_blocks',
-                        _QWEN_BLOCK_MAP)]
-        top_map = _QWEN_TOP_MAP
-
+    """Reverse conversion for export (stacked flax -> per-block torch keys),
+    producing diffusers/reference-compatible naming *and* the reference's
+    (c, p, p) packed-feature layout (see ``_permute_packed``)."""
+    block_specs, top_map = _family_maps(family)
     flat = flatten(flax_tree)
     out: Dict[str, np.ndarray] = {}
     handled = set()
 
+    p2 = patch_size * patch_size
+    if num_gaussians is None and 'proj_out_logweights.bias' in flat:
+        num_gaussians = np.asarray(
+            flat['proj_out_logweights.bias']).shape[-1] // p2
+    if num_gaussians is None and 'proj_out_logweights.kernel' in flat:
+        num_gaussians = np.asarray(
+            flat['proj_out_logweights.kernel']).shape[-1] // p2
+
     def deconvert(f_leaf, v):
-        if f_leaf == 'kernel' and v.ndim == 2:
-            return 'weight', np.asarray(v).T
-        if f_leaf == 'scale':
-            return 'weight', np.asarray(v)
-        return ('weight', np.asarray(v)) if f_leaf == 'kernel' \
-            else ('bias', np.asarray(v))
+        v = np.asarray(v)
+        t_leaf = _FLAX_TO_TORCH_LEAF[f_leaf]
+        if f_leaf in ('kernel', 'lora_a', 'lora_b') and v.ndim == 2:
+            return t_leaf, v.T
+        return t_leaf, v
 
     for torch_prefix, flax_prefix, mapping in block_specs:
-        inv = {f: t for t, f in mapping.items()}
-        for f_sub, t_sub in inv.items():
-            for f_leaf in ('kernel', 'bias', 'scale'):
+        for t_sub, f_sub in mapping.items():
+            for f_leaf in _FLAX_LEAVES:
                 key = f'{flax_prefix}.{f_sub}.{f_leaf}'
                 if key not in flat:
                     continue
@@ -286,16 +377,22 @@ def flax_to_torch_flux(flax_tree: Dict, family: str = 'flux'
                 for i in range(stacked.shape[0]):
                     t_leaf, v = deconvert(f_leaf, stacked[i])
                     out[f'{torch_prefix}.{i}.{t_sub}.{t_leaf}'] = v
-    inv_top = {f: t for t, f in top_map.items()}
-    for f_sub, t_sub in inv_top.items():
-        for f_leaf in ('kernel', 'bias', 'scale'):
+    for t_sub, f_sub in top_map.items():
+        for f_leaf in _FLAX_LEAVES:
             key = f'{f_sub}.{f_leaf}'
             if key not in flat:
                 continue
             handled.add(key)
-            t_leaf, v = deconvert(f_leaf, flat[key])
+            v = np.asarray(flat[key])
+            if t_sub in _PACKED_TOUCHING and f_leaf in ('kernel', 'bias'):
+                io, has_k = _PACKED_TOUCHING[t_sub]
+                groups = (num_gaussians or 1) if has_k else 1
+                axis = 0 if (f_leaf == 'kernel' and io == 'in') \
+                    else v.ndim - 1 if f_leaf == 'kernel' else 0
+                v = _permute_packed(v, axis, p2, groups, to_flax=False)
+            t_leaf, v = deconvert(f_leaf, v)
             out[f'{t_sub}.{t_leaf}'] = v
-    # arc heads + lora pass through with canonical names
+    # anything unmapped passes through with canonical leaf names
     for key, v in flat.items():
         if key in handled:
             continue
@@ -303,6 +400,31 @@ def flax_to_torch_flux(flax_tree: Dict, family: str = 'flux'
             np.asarray(v).swapaxes(-1, -2) if key.endswith('.kernel')
             and np.asarray(v).ndim >= 2 else np.asarray(v))
     return out
+
+
+def fuse_lora(tree: Dict, scale: float = 1.0) -> Dict:
+    """Fold LoRA deltas into the base kernels and drop the lora leaves
+    (reference ``fuse_lora`` + ``unload_lora``, arcflux.py:352-355).
+
+    kernel += scale * lora_a @ lora_b, with LoRADense's default
+    alpha == rank so scale defaults to 1. Handles both 2-D and nn.scan
+    stacked (L, in, r) x (L, r, out) leaves.
+    """
+    flat = flatten(tree)
+    out = {}
+    for k, v in flat.items():
+        if k.endswith(('.lora_a', '.lora_b')):
+            continue
+        if k.endswith('.kernel'):
+            a = flat.get(k[:-len('.kernel')] + '.lora_a')
+            b = flat.get(k[:-len('.kernel')] + '.lora_b')
+            if a is not None and b is not None:
+                a, b, v = jnp.asarray(a), jnp.asarray(b), jnp.asarray(v)
+                delta = a @ b if a.ndim == 2 \
+                    else jnp.einsum('lir,lro->lio', a, b)
+                v = v + scale * delta.astype(v.dtype)
+        out[k] = v
+    return unflatten(out)
 
 
 def graft_pretrained(init_tree: Dict, converted: Dict,

@@ -16,7 +16,6 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from ..utils.pytree import flatten, unflatten
 from .convert import torch_flux_to_flax
 
 
@@ -54,46 +53,28 @@ def load_adapter_state(path: str, family: str = 'flux'
     if 'policy_config' in meta:
         policy_config = json.loads(meta['policy_config'])
 
-    # normalize peft-style lora names: lora_A.default.weight -> lora_a etc.
+    # Normalize peft adapter naming (raw training checkpoints carry
+    # ``lora_A.default.weight``; the reference exporter renames to
+    # ``lora_A.weight`` — accept both, reference arcflow_loader.py:241-265).
     norm_state = {}
     for k, v in state.items():
-        k = k.replace('.lora_A.default.weight', '.lora_a.weight')
-        k = k.replace('.lora_B.default.weight', '.lora_b.weight')
-        k = k.replace('.lora_A.weight', '.lora_a.weight')
-        k = k.replace('.lora_B.weight', '.lora_b.weight')
-        # the exporter writes the adapter's final AdaLN under its diffusers
-        # name; map it back to the flax module name
-        k = k.replace('norm_out.linear.', 'norm_out.modulation.')
+        k = k.replace('.lora_A.default.weight', '.lora_A.weight')
+        k = k.replace('.lora_B.default.weight', '.lora_B.weight')
         norm_state[k] = v
 
-    # split: keys already in flax naming (exported by us: contain lora_a/b or
-    # arc head names) vs diffusers torch naming needing conversion
-    flat = {}
-    torch_like = {}
-    for k, v in norm_state.items():
-        if ('lora_a' in k or 'lora_b' in k or 'proj_out_means' in k
-                or 'proj_out_logweights' in k or 'proj_out_loggamma' in k
-                or 'norm_out' in k or 'modulation' in k):
-            kk = k.replace('.weight', '.kernel')
-            if kk.endswith('.kernel'):
-                arr = np.asarray(v)
-                if arr.ndim >= 2:
-                    arr = arr.swapaxes(-1, -2)
-                flat[kk] = arr
-            else:
-                flat[kk] = np.asarray(v)
-        else:
-            torch_like[k] = v
-    tree = unflatten(flat) if flat else {}
-    if torch_like:
-        conv, _ = torch_flux_to_flax(
-            torch_like,
-            num_layers=_max_block_index(torch_like, 'transformer_blocks') + 1,
-            num_single_layers=_max_block_index(
-                torch_like, 'single_transformer_blocks') + 1,
-            family=family)
-        from ..utils.pytree import merge_params
-        tree = merge_params(tree, conv)
+    # Everything — per-block LoRA keys, arc heads, norm_out — goes through
+    # the canonical torch->flax converter, which gathers per-block peft keys
+    # into stacked scan arrays and fixes the packed-feature layout.
+    tree, unused = torch_flux_to_flax(
+        norm_state,
+        num_layers=_max_block_index(norm_state, 'transformer_blocks') + 1,
+        num_single_layers=_max_block_index(
+            norm_state, 'single_transformer_blocks') + 1,
+        family=family)
+    if unused:
+        raise ValueError(
+            f'adapter contains {len(unused)} unconvertible keys, e.g. '
+            f'{sorted(unused)[:5]}')
     return tree, policy_config
 
 

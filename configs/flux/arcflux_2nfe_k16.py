@@ -33,7 +33,16 @@ model = dict(
             pooled_projection_dim=768,
             guidance_embeds=True,
             checkpointing=True,
-            lora_rank=256),
+            lora_rank=256,
+            # local converted FLUX.1-dev transformer weights (safetensors
+            # dir, file, or sharded *.index.json); None = random init.
+            # Reference: pretrained='huggingface://black-forest-labs/
+            # FLUX.1-dev/transformer/...index.json' (arcflux config) —
+            # zero-egress here, so point at a pre-downloaded copy.
+            pretrained=None,
+            # optional exported ArcFlow adapter to fuse into the base
+            # before training (reference pretrained_adapter)
+            pretrained_adapter=None),
         flow_loss=dict(
             type='DiffusionMSELoss',
             data_info=dict(pred='u_t_pred', target='u_t'),

@@ -29,7 +29,11 @@ model = dict(
             joint_attention_dim=3584,
             max_text_len=512,
             checkpointing=True,
-            lora_rank=256),
+            lora_rank=256,
+            # local converted Qwen-Image transformer weights (safetensors
+            # dir/file/index.json); None = random init (zero egress)
+            pretrained=None,
+            pretrained_adapter=None),
         flow_loss=dict(
             type='DiffusionMSELoss',
             data_info=dict(pred='u_t_pred', target='u_t'),
