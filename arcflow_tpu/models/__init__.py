@@ -7,8 +7,8 @@ from .flux import (ArcFluxTransformer2DModel, FluxTransformer2DModel,
                    ARCFLUX_ADAPTER_KEYS, patchify, unpatchify)
 from .qwen import (ArcQwenImageTransformer2DModel, QwenImageTransformer2DModel,
                    ARCQWEN_ADAPTER_KEYS)
-from .vae import (PretrainedVAE, PretrainedVAEDecoder, PretrainedVAEEncoder,
-                  PretrainedVAEQwenImage)
+from .vae import PretrainedVAE, PretrainedVAEDecoder, PretrainedVAEEncoder
+from .qwen_vae import PretrainedVAEQwenImage
 from .text_encoders import (PretrainedFluxTextEncoder,
                             PretrainedQwenImageTextEncoder,
                             PretrainedStableDiffusion3TextEncoder)

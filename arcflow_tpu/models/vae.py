@@ -160,6 +160,9 @@ class PretrainedVAE:
                  latents_mean: Optional[Sequence[float]] = None,
                  latents_std: Optional[Sequence[float]] = None,
                  sample_posterior: bool = False,
+                 layers_per_block: int = 2,
+                 use_quant_conv: bool = False,
+                 use_post_quant_conv: bool = False,
                  from_pretrained: Optional[str] = None, subfolder: str = '',
                  freeze: bool = True, dtype: str = 'bfloat16', **kwargs):
         self.latent_channels = latent_channels
@@ -175,19 +178,56 @@ class PretrainedVAE:
         net_dtype = getattr(jnp, dtype)
         self.encoder = Encoder(block_out_channels=block_out_channels,
                                latent_channels=latent_channels,
+                               layers_per_block=layers_per_block,
                                dtype=net_dtype)
         self.decoder = Decoder(block_out_channels=block_out_channels,
-                               out_channels=out_channels, dtype=net_dtype)
+                               out_channels=out_channels,
+                               layers_per_block=layers_per_block,
+                               dtype=net_dtype)
+        # SD-family VAEs have 1x1 (post_)quant convs; FLUX's does not
+        self.quant_conv = nn.Conv(2 * latent_channels, (1, 1),
+                                  dtype=net_dtype) if use_quant_conv else None
+        self.post_quant_conv = nn.Conv(latent_channels, (1, 1),
+                                       dtype=net_dtype) \
+            if use_post_quant_conv else None
 
     # ---- params --------------------------------------------------------
     def init_params(self, rng, image_size: int = 64):
-        rng_e, rng_d = jax.random.split(rng)
-        enc = self.encoder.init(
-            rng_e, jnp.zeros((1, image_size, image_size, 3)))['params']
-        dec = self.decoder.init(
-            rng_d, jnp.zeros((1, image_size // 8, image_size // 8,
-                              self.latent_channels)))['params']
-        return dict(encoder=enc, decoder=dec)
+        ks = jax.random.split(rng, 4)
+        params = {}
+        if self.encoder is not None:
+            params['encoder'] = self.encoder.init(
+                ks[0], jnp.zeros((1, image_size, image_size, 3)))['params']
+            if self.quant_conv is not None:
+                params['quant_conv'] = self.quant_conv.init(
+                    ks[2], jnp.zeros((1, 1, 1, 2 * self.latent_channels))
+                )['params']
+        if self.decoder is not None:
+            params['decoder'] = self.decoder.init(
+                ks[1], jnp.zeros((1, image_size // 8, image_size // 8,
+                                  self.latent_channels)))['params']
+            if self.post_quant_conv is not None:
+                params['post_quant_conv'] = self.post_quant_conv.init(
+                    ks[3], jnp.zeros((1, 1, 1, self.latent_channels))
+                )['params']
+        return self._maybe_load_pretrained(params)
+
+    def _maybe_load_pretrained(self, params):
+        if self.from_pretrained is None:
+            return params
+        from ..pipelines.convert import (load_safetensors_state,
+                                         torch_vae_to_flax, graft_pretrained)
+        import os
+        path = os.path.join(self.from_pretrained, self.subfolder) \
+            if self.subfolder else self.from_pretrained
+        tree, _ = torch_vae_to_flax(load_safetensors_state(path))
+        # encoder/decoder-only variants load their half of the checkpoint
+        tree = {k: v for k, v in tree.items() if k in params}
+        params, missing, unexpected = graft_pretrained(params, tree)
+        if missing or unexpected:
+            raise ValueError(f'vae load mismatch: missing {missing[:3]}, '
+                             f'unexpected {unexpected[:3]}')
+        return params
 
     def _normalize(self, z: Array) -> Array:
         if self.latents_mean is not None:
@@ -203,6 +243,9 @@ class PretrainedVAE:
                ) -> Array:
         """images (B, H, W, 3) in [-1, 1] -> normalized latents."""
         moments = self.encoder.apply({'params': params['encoder']}, images)
+        if self.quant_conv is not None:
+            moments = self.quant_conv.apply({'params': params['quant_conv']},
+                                            moments)
         mean, logvar = jnp.split(moments, 2, axis=-1)
         z = mean
         if self.sample_posterior:
@@ -214,6 +257,10 @@ class PretrainedVAE:
     def decode(self, params, latents: Array) -> Array:
         """normalized latents -> images (B, H, W, 3) in [-1, 1]."""
         z = self._denormalize(jnp.asarray(latents, jnp.float32))
+        if self.post_quant_conv is not None:
+            z = self.post_quant_conv.apply(
+                {'params': params['post_quant_conv']},
+                z.astype(self.post_quant_conv.dtype))
         img = self.decoder.apply({'params': params['decoder']}, z)
         return jnp.asarray(img, jnp.float32)
 
@@ -223,11 +270,10 @@ class PretrainedVAEDecoder(PretrainedVAE):
     """Decoder-only variant (the training configs delete the encoder;
     reference pretrained.py:80-91)."""
 
-    def init_params(self, rng, image_size: int = 64):
-        dec = self.decoder.init(
-            rng, jnp.zeros((1, image_size // 8, image_size // 8,
-                            self.latent_channels)))['params']
-        return dict(decoder=dec)
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.encoder = None
+        self.quant_conv = None
 
     def encode(self, *a, **kw):
         raise RuntimeError('decoder-only VAE')
@@ -237,26 +283,14 @@ class PretrainedVAEDecoder(PretrainedVAE):
 class PretrainedVAEEncoder(PretrainedVAE):
     """Encoder-only variant (latent cachers; reference pretrained.py:92-100)."""
 
-    def init_params(self, rng, image_size: int = 64):
-        enc = self.encoder.init(
-            rng, jnp.zeros((1, image_size, image_size, 3)))['params']
-        return dict(encoder=enc)
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.decoder = None
+        self.post_quant_conv = None
 
     def decode(self, *a, **kw):
         raise RuntimeError('encoder-only VAE')
 
 
-@MODULES.register_module()
-class PretrainedVAEQwenImage(PretrainedVAE):
-    """Qwen-Image VAE semantics: per-channel latents mean/std normalization
-    (reference pretrained.py:104-149). The reference model is a 3D-causal
-    video VAE used in image mode (T=1); this wrapper exposes the same image
-    API with the per-channel normalization convention."""
-
-    def __init__(self, *args, latents_mean=None, latents_std=None, **kwargs):
-        if latents_mean is None:
-            latents_mean = [0.0] * kwargs.get('latent_channels', 16)
-        if latents_std is None:
-            latents_std = [1.0] * kwargs.get('latent_channels', 16)
-        super().__init__(*args, latents_mean=latents_mean,
-                         latents_std=latents_std, **kwargs)
+# The Qwen-Image VAE (Wan 3D-causal architecture, image mode) lives in
+# qwen_vae.py — a real re-implementation, not an SD-geometry stand-in.

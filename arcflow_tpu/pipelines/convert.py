@@ -402,6 +402,121 @@ def flax_to_torch_flux(flax_tree: Dict, family: str = 'flux',
     return out
 
 
+# ---------------------------------------------------------------------------
+# VAE converters (diffusers torch -> flax NHWC)
+# ---------------------------------------------------------------------------
+
+# diffusers AutoencoderKL (SD / FLUX VAE) -> models/vae.py naming
+_VAE_NAME_RULES = [
+    (r'^(encoder|decoder)\.down_blocks\.(\d+)\.resnets\.(\d+)\.',
+     r'\1.down_\2_res_\3.'),
+    (r'^(encoder|decoder)\.up_blocks\.(\d+)\.resnets\.(\d+)\.',
+     r'\1.up_\2_res_\3.'),
+    (r'^(encoder|decoder)\.down_blocks\.(\d+)\.downsamplers\.0\.',
+     r'\1.down_\2_ds.'),
+    (r'^(encoder|decoder)\.up_blocks\.(\d+)\.upsamplers\.0\.',
+     r'\1.up_\2_us.'),
+    (r'\.mid_block\.resnets\.0\.', '.mid_res_1.'),
+    (r'\.mid_block\.resnets\.1\.', '.mid_res_2.'),
+    (r'\.mid_block\.attentions\.0\.', '.mid_attn.'),
+    (r'\.to_out\.0\.', '.to_out.'),
+]
+
+# diffusers AutoencoderKLQwenImage / AutoencoderKLWan -> models/qwen_vae.py
+_QWEN_VAE_NAME_RULES = [
+    (r'^encoder\.down_blocks\.(\d+)\.', r'encoder.down_blocks_\1.'),
+    (r'^decoder\.up_blocks\.(\d+)\.resnets\.(\d+)\.',
+     r'decoder.up_blocks_\1.resnets_\2.'),
+    (r'^decoder\.up_blocks\.(\d+)\.upsamplers\.0\.',
+     r'decoder.up_blocks_\1.upsampler.'),
+    (r'\.mid_block\.resnets\.(\d+)\.', r'.mid_block.resnets_\1.'),
+    (r'\.mid_block\.attentions\.0\.', '.mid_block.attentions_0.'),
+    (r'\.resample\.1\.', '.resample_conv.'),
+]
+
+_VAE_NORM_NAMES = ('norm1', 'norm2', 'group_norm', 'conv_norm_out',
+                   'norm_out')
+
+
+def _is_vae_norm(path: str) -> bool:
+    mod = path.rsplit('.', 1)[-1] if '.' in path else path
+    return mod in _VAE_NORM_NAMES
+
+
+def torch_vae_to_flax(state: Dict[str, np.ndarray],
+                      dtype=np.float32) -> Tuple[Dict, Dict]:
+    """diffusers AutoencoderKL state dict -> flax tree for models/vae.py.
+
+    Conv kernels transpose NCHW (o,i,h,w) -> HWIO; attention Linears
+    transpose; GroupNorm weight -> scale. Matches the reference's
+    ``PretrainedVAE`` wrapped model (pretrained.py:23-100).
+    """
+    flat, used = {}, set()
+    for key, v in state.items():
+        name = key
+        for pat, rep in _VAE_NAME_RULES:
+            name = re.sub(pat, rep, name)
+        path, _, leaf = name.rpartition('.')
+        if leaf == 'weight':
+            if _is_vae_norm(path):
+                f_leaf, val = 'scale', v
+            elif v.ndim == 4:
+                f_leaf, val = 'kernel', v.transpose(2, 3, 1, 0)
+            elif v.ndim == 2:
+                f_leaf, val = 'kernel', v.T
+            else:
+                continue
+        elif leaf == 'bias':
+            f_leaf, val = 'bias', v
+        else:
+            continue
+        used.add(key)
+        flat[f'{path}.{f_leaf}'] = np.asarray(val).astype(dtype)
+    unused = {k: v for k, v in state.items() if k not in used}
+    return unflatten(flat), unused
+
+
+def torch_qwen_vae_to_flax(state: Dict[str, np.ndarray],
+                           dtype=np.float32) -> Tuple[Dict, Dict]:
+    """diffusers AutoencoderKLQwenImage (Wan 3D-causal) -> flax image-mode
+    tree for models/qwen_vae.py.
+
+    Image-mode (single frame, empty cache) is exact with:
+      * 3-D causal conv kernels (o,i,t,h,w) -> 2-D kernels from the LAST
+        temporal slice (causal front zero-padding makes earlier slices see
+        only zeros on frame 0);
+      * ``time_conv`` weights skipped (never applied to the first frame);
+      * WanRMS_norm gamma (c,1,1,1)/(c,1,1) -> (c,).
+    """
+    flat, used, skipped = {}, set(), {}
+    for key, v in state.items():
+        if '.time_conv.' in key:
+            skipped[key] = v      # intentionally unused in image mode
+            used.add(key)
+            continue
+        name = key
+        for pat, rep in _QWEN_VAE_NAME_RULES:
+            name = re.sub(pat, rep, name)
+        path, _, leaf = name.rpartition('.')
+        if leaf == 'gamma':
+            f_leaf, val = 'gamma', v.reshape(-1)
+        elif leaf == 'weight':
+            if v.ndim == 5:                       # causal conv3d
+                f_leaf, val = 'kernel', v[:, :, -1].transpose(2, 3, 1, 0)
+            elif v.ndim == 4:                     # plain conv2d (attention)
+                f_leaf, val = 'kernel', v.transpose(2, 3, 1, 0)
+            else:
+                continue
+        elif leaf == 'bias':
+            f_leaf, val = 'bias', v
+        else:
+            continue
+        used.add(key)
+        flat[f'{path}.{f_leaf}'] = np.asarray(val).astype(dtype)
+    unused = {k: v for k, v in state.items() if k not in used}
+    return unflatten(flat), unused
+
+
 def fuse_lora(tree: Dict, scale: float = 1.0) -> Dict:
     """Fold LoRA deltas into the base kernels and drop the lora leaves
     (reference ``fuse_lora`` + ``unload_lora``, arcflux.py:352-355).
