@@ -62,7 +62,8 @@ def train_model(cfg: Config, work_dir: Optional[str] = None,
     parallel_cfg = dict(cfg.get('parallel', {}) or {})
     if parallel_cfg.get('mesh'):
         from ..parallel import make_mesh, shard_state
-        mesh = make_mesh(dict(parallel_cfg['mesh']))
+        mesh = make_mesh(dict(parallel_cfg['mesh']),
+                         dcn_axes=parallel_cfg.get('dcn_mesh'))
         state, _ = shard_state(
             state, mesh,
             fsdp_axis=parallel_cfg.get('fsdp_axis', 'fsdp'),
@@ -80,6 +81,7 @@ def train_model(cfg: Config, work_dir: Optional[str] = None,
         max_keep_ckpts=ckpt_cfg.get('max_keep_ckpts'),
         ckpt_trainable_only=ckpt_cfg.get('trainable_only', True),
         ckpt_fp16=ckpt_cfg.get('fp16', False),
+        ckpt_fp16_ema=ckpt_cfg.get('fp16_ema', False),
         ckpt_bf16_optim=ckpt_cfg.get('bf16_optim', False))
 
     if resume and manager.latest_step() is not None:
@@ -102,9 +104,17 @@ def train_model(cfg: Config, work_dir: Optional[str] = None,
         grad_accum_steps=grad_accum_steps)
 
     dataset = build_dataset(data_cfg['train'])
-    # multihost: each process loads its shard of the global batch
+    # The batch shards over (data, fsdp): every device computes a distinct
+    # micro-batch (samples_per_gpu is per *device*, as in the reference's
+    # per-GPU semantics). Multihost: each process loads only its slice.
     n_proc, proc_id = jax.process_count(), jax.process_index()
-    global_bs = samples_per_gpu * (mesh.shape.get('data', 1) if mesh else 1)
+    if mesh is not None:
+        from ..parallel import batch_axes
+        batch_devices = int(np.prod([mesh.shape[a] for a in
+                                     batch_axes(mesh)]))
+    else:
+        batch_devices = 1
+    global_bs = samples_per_gpu * batch_devices
     assert global_bs % n_proc == 0, (global_bs, n_proc)
     global_bs //= n_proc
     if getattr(dataset, 'bucket_ids', None) is not None and \

@@ -83,9 +83,9 @@ class DenoisingUnetMod(nn.Module):
     num_timesteps: int = 1000
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x_t: Array, t: Array, label: Optional[Array] = None,
-                 **kwargs) -> Array:
+    def _trunk(self, x_t: Array, t: Array, label: Optional[Array]) -> Array:
+        """Shared UNet body up to (but not including) the output head; must
+        be called from within a compact ``__call__``."""
         emb_dim = self.base_channels * 4
         temb = timestep_embedding(t / self.num_timesteps * 1000.0,
                                   self.base_channels)
@@ -140,6 +140,66 @@ class DenoisingUnetMod(nn.Module):
 
         h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32,
                          name='norm_out')(h)
+        return nn.silu(h)
+
+    @nn.compact
+    def __call__(self, x_t: Array, t: Array, label: Optional[Array] = None,
+                 **kwargs) -> Array:
+        h = self._trunk(x_t, t, label)
         return nn.Conv(self.in_channels, (3, 3), padding=1,
                        kernel_init=nn.initializers.zeros, dtype=jnp.float32,
-                       name='conv_out')(nn.silu(h))
+                       name='conv_out')(h)
+
+
+@MODULES.register_module()
+class ArcDenoisingUnetMod(DenoisingUnetMod):
+    """ArcFlow student UNet: the same trunk + 3 mixture heads (the UNet
+    analogue of the ArcFlux heads, reference arcflux.py:85-132 init
+    semantics at patch_size=1).
+
+    Output dict: means (B, K, H, W, C), logweights (B, K, H, W, 1)
+    log-softmax over K, loggammas (B, K-1, H, W, 1).
+    """
+
+    num_gaussians: int = 8
+
+    @nn.compact
+    def __call__(self, x_t: Array, t: Array, label: Optional[Array] = None,
+                 **kwargs) -> dict:
+        b, hh, ww, c = x_t.shape
+        k = self.num_gaussians
+        h = self._trunk(x_t, t, label)
+
+        def means_bias_init(key, shape, dtype=jnp.float32):
+            noise = 0.1 * jax.random.normal(key, (k, c), dtype)
+            return noise.reshape(shape)
+
+        def gamma_bias_init(key, shape, dtype=jnp.float32):
+            del key
+            import math
+            target = jnp.logspace(math.log10(0.2), math.log10(4.0), k - 1)
+            return jnp.log(target).astype(dtype)
+
+        means = nn.Conv(k * c, (3, 3), padding=1,
+                        kernel_init=nn.initializers.zeros,
+                        bias_init=means_bias_init, dtype=jnp.float32,
+                        name='proj_out_means')(h)
+        logweights = nn.Conv(k, (3, 3), padding=1,
+                             kernel_init=nn.initializers.zeros,
+                             dtype=jnp.float32,
+                             name='proj_out_logweights')(h)
+        loggammas = nn.Conv(k - 1, (3, 3), padding=1,
+                            kernel_init=nn.initializers.zeros,
+                            bias_init=gamma_bias_init, dtype=jnp.float32,
+                            name='proj_out_loggamma')(h)
+        means = means.reshape(b, hh, ww, k, c).transpose(0, 3, 1, 2, 4)
+        logweights = jax.nn.log_softmax(
+            logweights, axis=-1).transpose(0, 3, 1, 2)[..., None]
+        loggammas = loggammas.transpose(0, 3, 1, 2)[..., None]
+        return dict(means=means, logweights=logweights, loggammas=loggammas)
+
+
+# trainable surface of the Arc UNet student (heads only; the trunk is the
+# teacher's, frozen — mirrors ARCFLUX_ADAPTER_KEYS)
+ARCUNET_ADAPTER_KEYS = ('proj_out_means', 'proj_out_logweights',
+                        'proj_out_loggamma')

@@ -2,8 +2,8 @@
 
 from .mesh import (make_mesh, fsdp_shard_params, fsdp_spec_for,
                    param_spec_for, shard_state, shard_batch, batch_sharding,
-                   replicated)
+                   batch_axes, replicated, setup_distributed)
 
 __all__ = ['make_mesh', 'fsdp_shard_params', 'fsdp_spec_for',
            'param_spec_for', 'shard_state', 'shard_batch', 'batch_sharding',
-           'replicated']
+           'batch_axes', 'replicated', 'setup_distributed']

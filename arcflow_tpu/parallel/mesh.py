@@ -28,17 +28,70 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(axes: Dict[str, int], devices: Optional[Sequence] = None) -> Mesh:
+def setup_distributed(dist_cfg: Optional[Dict] = None) -> bool:
+    """Multihost bring-up: ``jax.distributed.initialize`` (the reference's
+    ``init_dist(launcher, backend='nccl')``, train.py:182-185).
+
+    Called once before any other jax API. Config block::
+
+        dist_params = dict(coordinator_address='host:port',  # or env/auto
+                           num_processes=N, process_id=i)
+
+    With no explicit values, jax auto-detects from the cluster environment
+    (TPU pod metadata / JAX_COORDINATOR_ADDRESS + JAX_NUM_PROCESSES +
+    JAX_PROCESS_ID). Returns True if a multi-process runtime was started.
+    """
+    import os
+    cfg = dict(dist_cfg or {})
+    env_np = os.environ.get('JAX_NUM_PROCESSES')
+    num_processes = cfg.get('num_processes',
+                            int(env_np) if env_np else None)
+    if num_processes is None or int(num_processes) <= 1:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=cfg.get(
+            'coordinator_address', os.environ.get('JAX_COORDINATOR_ADDRESS')),
+        num_processes=int(num_processes),
+        process_id=cfg.get('process_id',
+                           int(os.environ.get('JAX_PROCESS_ID', 0))),
+        local_device_ids=cfg.get('local_device_ids'))
+    return True
+
+
+def make_mesh(axes: Dict[str, int], devices: Optional[Sequence] = None,
+              dcn_axes: Optional[Dict[str, int]] = None) -> Mesh:
     """Build a mesh from {'data': d, 'fsdp': f, ...}; sizes must multiply to
-    the device count (use -1 for one inferred axis)."""
-    devices = list(devices if devices is not None else jax.devices())
+    the device count (use -1 for one inferred axis).
+
+    ``dcn_axes`` ({axis_name: n_slices}) requests DCN-aware ordering on
+    multihost: those axes span slices/hosts (data-center network) while the
+    remaining axes stay within a slice (ICI) — the reference's HYBRID_SHARD
+    (replicate inter-node, shard intra-node; fsdp_wrapper.py:182-199) maps to
+    dcn_axes={'data': n_nodes} + ICI fsdp.
+    """
     names = tuple(axes.keys())
     sizes = list(axes.values())
+    n_devices = len(devices) if devices is not None else jax.device_count()
     if -1 in sizes:
         known = int(np.prod([s for s in sizes if s != -1]))
-        sizes[sizes.index(-1)] = len(devices) // known
-    assert int(np.prod(sizes)) == len(devices), \
-        f'mesh {dict(zip(names, sizes))} != {len(devices)} devices'
+        if dcn_axes:
+            known *= int(np.prod(list(dcn_axes.values())))
+        sizes[sizes.index(-1)] = n_devices // known
+    if dcn_axes:
+        from jax.experimental import mesh_utils
+        ici_shape = tuple(sizes)
+        dcn_shape = tuple(dcn_axes.get(n, 1) for n in names)
+        total = int(np.prod(ici_shape)) * int(np.prod(dcn_shape))
+        assert total == n_devices, \
+            f'ici {ici_shape} x dcn {dcn_shape} != {n_devices} devices'
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            ici_shape, dcn_shape,
+            devices=list(devices) if devices is not None else None)
+        # hybrid mesh shape = dcn_shape * ici_shape elementwise
+        return Mesh(dev_array, names)
+    assert int(np.prod(sizes)) == n_devices, \
+        f'mesh {dict(zip(names, sizes))} != {n_devices} devices'
+    devices = list(devices if devices is not None else jax.devices())
     dev_array = np.asarray(devices).reshape(sizes)
     return Mesh(dev_array, names)
 
@@ -95,9 +148,19 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
-def batch_sharding(mesh: Mesh, axis: str = 'data') -> NamedSharding:
-    """Shard batches over the data axis (leading dim)."""
-    return NamedSharding(mesh, P(axis))
+def batch_axes(mesh: Mesh, axis='data', extra=('fsdp',)) -> Tuple[str, ...]:
+    """Axes the batch dim shards over: 'data' plus any present ``extra``
+    axes. FSDP devices hold different param shards but must also see
+    different batch shards — replicating the batch across the fsdp axis
+    wastes fsdp_size x compute (torch FSDP/ZeRO-3 shards the batch across
+    all ranks)."""
+    names = [axis] + [e for e in extra if mesh.shape.get(e, 1) > 1]
+    return tuple(n for n in names if n in mesh.shape.keys())
+
+
+def batch_sharding(mesh: Mesh, axis='data', extra=('fsdp',)) -> NamedSharding:
+    """Shard batches over (data, fsdp) on the leading dim."""
+    return NamedSharding(mesh, P(batch_axes(mesh, axis, extra)))
 
 
 def shard_state(state, mesh: Mesh, fsdp_axis: str = 'fsdp',
@@ -117,7 +180,18 @@ def shard_state(state, mesh: Mesh, fsdp_axis: str = 'fsdp',
     return placed, shardings
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = 'data'):
-    sharding = batch_sharding(mesh, axis)
+def shard_batch(batch, mesh: Mesh, axis: str = 'data',
+                extra: Sequence[str] = ('fsdp',)):
+    """Place a host batch on the mesh, sharded over (data, fsdp).
+
+    Multi-process: each process passes its *local* shard and
+    ``jax.make_array_from_process_local_data`` assembles the global array
+    (device_put would misread the local batch as the global one).
+    """
+    sharding = batch_sharding(mesh, axis, tuple(extra))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(np.asarray(x), sharding),
                         batch)

@@ -38,10 +38,14 @@ class IterBasedRunner:
         self.logger = logger or build_logger(work_dir)
         self._hooks = sorted(hooks, key=lambda h: h.priority)
         self.log_buffer: Dict[str, Any] = {}
+        # Host-side iteration counter. Reading the device step every iter
+        # (int(state.step)) forces a device round-trip that kills async
+        # dispatch overlap; the device step is consulted once, at resume.
+        self._iter = int(state.step)
 
     @property
     def iter(self) -> int:
-        return int(self.state.step)
+        return self._iter
 
     def call_hook(self, fn_name: str):
         for h in self._hooks:
@@ -49,16 +53,17 @@ class IterBasedRunner:
 
     def run(self):
         self.call_hook('before_run')
-        start = self.iter
-        self.logger.info(f'starting at iter {start}, target {self.total_iters}')
+        self.logger.info(
+            f'starting at iter {self._iter}, target {self.total_iters}')
         try:
-            while int(self.state.step) < self.total_iters:
+            while self._iter < self.total_iters:
                 batch = next(self.data_iter)
                 # host numpy -> device; already-placed (sharded) arrays pass
                 batch = jax.tree.map(
                     lambda x: x if isinstance(x, jax.Array) else np.asarray(x),
                     batch)
                 self.state, logs = self.train_step_fn(self.state, batch)
+                self._iter += 1
                 self.log_buffer = dict(logs)
                 self.call_hook('after_train_iter')
         finally:
@@ -66,9 +71,17 @@ class IterBasedRunner:
         return self.state
 
 
-def build_hooks(log_config: Optional[dict] = None, extra_hooks: Sequence = ()
-                ) -> list:
-    """Build hook objects from a reference-style ``log_config`` plus extras."""
+def build_hooks(log_config: Optional[dict] = None, extra_hooks: Sequence = (),
+                logger=None) -> list:
+    """Build hook objects from a reference-style ``log_config`` plus extras.
+
+    All config kwargs the hook's __init__ accepts are passed through;
+    unsupported keys and aliased hook types are logged, never silently
+    dropped.
+    """
+    import inspect
+    import logging
+    logger = logger or logging.getLogger('arcflow_tpu')
     hooks = []
     if log_config:
         interval = log_config.get('interval', 50)
@@ -78,12 +91,28 @@ def build_hooks(log_config: Optional[dict] = None, extra_hooks: Sequence = ()
             # map reference hook names onto the local equivalents
             alias = {'TensorboardLoggerHook': 'JsonLoggerHook',
                      'WandbLoggerHook': 'JsonLoggerHook'}
-            h_type = alias.get(h_type, h_type)
+            if h_type in alias:
+                logger.warning(
+                    f'{h_type} is served by {alias[h_type]} (metrics.jsonl '
+                    f'replaces TB/wandb event streams in this build)')
+                h_type = alias[h_type]
             if h_type not in HOOKS:
+                logger.warning(f'unknown hook type {h_type!r} skipped')
                 continue
+            cls = HOOKS.get(h_type)
             h_cfg.setdefault('interval', interval)
-            h_cfg = {k: v for k, v in h_cfg.items()
-                     if k in ('interval',)}
-            hooks.append(HOOKS.get(h_type)(**h_cfg))
+            sig = inspect.signature(cls.__init__)
+            accepts_kwargs = any(
+                p.kind == inspect.Parameter.VAR_KEYWORD
+                for p in sig.parameters.values())
+            if not accepts_kwargs:
+                dropped = {k for k in h_cfg if k not in sig.parameters}
+                if dropped:
+                    logger.warning(
+                        f'{h_type}: unsupported config keys {sorted(dropped)} '
+                        f'dropped')
+                h_cfg = {k: v for k, v in h_cfg.items()
+                         if k in sig.parameters}
+            hooks.append(cls(**h_cfg))
     hooks.extend(extra_hooks)
     return hooks

@@ -98,6 +98,54 @@ class S3Backend:
         bucket, key = self._split(path)
         self.client.put_object(Bucket=bucket, Key=key, Body=data)
 
+    def exists(self, path: str) -> bool:
+        bucket, key = self._split(path)
+        try:
+            self.client.head_object(Bucket=bucket, Key=key)
+            return True
+        except Exception:
+            return False
+
+    def join_path(self, *parts) -> str:
+        return '/'.join(p.rstrip('/') for p in parts)
+
+
+class HuggingFaceBackend:
+    """huggingface:// scheme (reference checkpoint.py:241-278): resolves
+    ``huggingface://org/repo/path/in/repo`` through huggingface_hub's cache.
+    Zero-egress environments can pre-seed HF_HOME and still resolve."""
+
+    def __init__(self):
+        try:
+            from huggingface_hub import hf_hub_download
+            self._download = hf_hub_download
+        except ImportError as e:
+            raise RuntimeError('huggingface_hub unavailable; pre-download '
+                               'and use a local path instead') from e
+
+    @staticmethod
+    def parse(path: str):
+        rest = path[len('huggingface://'):]
+        parts = rest.split('/')
+        repo_id = '/'.join(parts[:2])
+        return repo_id, '/'.join(parts[2:])
+
+    def local_path(self, path: str) -> str:
+        repo_id, filename = self.parse(path)
+        return self._download(repo_id=repo_id, filename=filename)
+
+    @retry(tries=5, delay=3)
+    def get(self, path: str) -> bytes:
+        with open(self.local_path(path), 'rb') as f:
+            return f.read()
+
+    def exists(self, path: str) -> bool:
+        try:
+            self.local_path(path)
+            return True
+        except Exception:
+            return False
+
     def join_path(self, *parts) -> str:
         return '/'.join(p.rstrip('/') for p in parts)
 
@@ -105,18 +153,29 @@ class S3Backend:
 _BACKENDS: Dict[str, Callable] = {}
 
 
-def get_file_backend(path: str):
-    """Backend for a URI: s3:// | http(s):// | local."""
+def register_backend(scheme: str, backend) -> None:
+    """Override/extend the URI-scheme table (also used by tests to fake
+    remote storage on the local filesystem)."""
+    _BACKENDS[scheme] = backend
+
+
+def uri_scheme(path: str) -> str:
     if path.startswith('s3://'):
-        scheme = 's3'
-        ctor = S3Backend
-    elif path.startswith(('http://', 'https://')):
-        scheme = 'http'
-        ctor = HTTPBackend
-    else:
-        scheme = 'local'
-        ctor = LocalBackend
+        return 's3'
+    if path.startswith('huggingface://'):
+        return 'huggingface'
+    if path.startswith(('http://', 'https://')):
+        return 'http'
+    return 'local'
+
+
+def get_file_backend(path: str):
+    """Backend for a URI: s3:// | huggingface:// | http(s):// | local."""
+    scheme = uri_scheme(path)
     if scheme not in _BACKENDS:
+        ctor = {'s3': S3Backend, 'http': HTTPBackend,
+                'huggingface': HuggingFaceBackend,
+                'local': LocalBackend}[scheme]
         _BACKENDS[scheme] = ctor()
     return _BACKENDS[scheme]
 

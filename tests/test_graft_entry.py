@@ -42,3 +42,12 @@ def test_dryrun_multichip_no_env_flags():
     r = _run({}, 'import __graft_entry__ as g; g.dryrun_multichip(8)')
     assert r.returncode == 0, f'stdout={r.stdout}\nstderr={r.stderr}'
     assert 'dryrun_multichip(8) OK' in r.stdout
+
+
+@pytest.mark.slow
+def test_dryrun_multihost_two_processes():
+    """2 processes x 4 simulated devices join via jax.distributed, form one
+    global mesh, and train one step (VERDICT round-1 item 5)."""
+    r = _run({}, 'import __graft_entry__ as g; g.dryrun_multihost(2, 4)')
+    assert r.returncode == 0, f'stdout={r.stdout}\nstderr={r.stderr}'
+    assert 'dryrun_multihost(2x4) OK' in r.stdout

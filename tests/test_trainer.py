@@ -131,3 +131,47 @@ def test_train_step_skips_on_nan():
     np.testing.assert_allclose(np.asarray(new_state.trainable['net']['w']), 1.0)
     assert float(logs['net_skipped']) == 1.0
     assert int(new_state.step) == 1
+
+
+def test_runner_tracks_iteration_on_host():
+    """The loop must not read the device step per iteration (a host sync
+    that kills async dispatch); it is consulted once, at resume."""
+    import itertools
+    import logging
+    from arcflow_tpu.runner.runner import IterBasedRunner
+
+    class CountingStep:
+        reads = 0
+
+        def __int__(self):
+            CountingStep.reads += 1
+            return 7    # resumed mid-run
+
+    class StubState:
+        step = CountingStep()
+
+    state = StubState()
+    runner = IterBasedRunner(
+        model=None, state=state,
+        train_step_fn=lambda s, b: (s, {'loss': 0.0}),
+        data_iter=itertools.repeat({'x': np.zeros((1,))}),
+        total_iters=30, work_dir='/tmp/runner_host_iter', hooks=[],
+        logger=logging.getLogger('test'))
+    runner.run()
+    assert runner.iter == 30
+    assert CountingStep.reads == 1, \
+        f'device step read {CountingStep.reads} times (expected once)'
+
+
+def test_build_hooks_passes_kwargs_and_warns(caplog):
+    import logging
+    from arcflow_tpu.runner.runner import build_hooks
+    with caplog.at_level(logging.WARNING, logger='arcflow_tpu'):
+        hooks = build_hooks(dict(
+            interval=25,
+            hooks=[dict(type='TextLoggerHook', by_epoch=False, bogus_key=1),
+                   dict(type='TensorboardLoggerHook')]))
+    assert hooks[0].interval == 25   # by_epoch accepted, bogus_key dropped
+    assert type(hooks[1]).__name__ == 'JsonLoggerHook'
+    text = ' '.join(r.message for r in caplog.records)
+    assert 'bogus_key' in text and 'TensorboardLoggerHook' in text

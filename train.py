@@ -30,6 +30,10 @@ def main():
             k, _, v = opt.partition('=')
             overrides[k] = v
         cfg.merge_from_dict(overrides)
+    # multihost bring-up before any other jax API (reference init_dist,
+    # train.py:182-185); no-op for single-process runs
+    from arcflow_tpu.parallel import setup_distributed
+    setup_distributed(cfg.get('dist_params'))
     train_model(cfg, work_dir=args.work_dir, resume=not args.no_resume,
                 seed=args.seed)
 
