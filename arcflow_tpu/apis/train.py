@@ -69,6 +69,11 @@ def train_model(cfg: Config, work_dir: Optional[str] = None,
             fsdp_axis=parallel_cfg.get('fsdp_axis', 'fsdp'),
             tensor_axis=parallel_cfg.get('tensor_axis'),
             min_size=parallel_cfg.get('min_shard_size', 2 ** 16))
+        # activation constraints (trace-time): batch pinned to (data, fsdp),
+        # attention-head/MLP activations to the tensor axis
+        from ..parallel import set_activation_sharding
+        set_activation_sharding(
+            mesh, tensor_axis=parallel_cfg.get('tensor_axis') or 'tensor')
         logger.info(f'mesh parallelism: {dict(mesh.shape)}')
 
     ckpt_cfg = dict(cfg.get('checkpoint_config', {}) or {})

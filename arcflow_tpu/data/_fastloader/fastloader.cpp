@@ -95,7 +95,13 @@ bool ZstdDecompress(ZSTD_DCtx* dctx, const std::string& src, Buffer* dst) {
       return false;
     }
     out_pos = ob.pos;
-    if (ret == 0 || (in.pos >= in.size && ob.pos < ob.size)) break;
+    if (ret == 0) break;             // frame complete
+    if (in.pos >= in.size && ob.pos < ob.size) {
+      // input exhausted mid-frame: the record is truncated/corrupt —
+      // fail instead of silently returning partial bytes
+      std::free(buf);
+      return false;
+    }
   }
   dst->data = buf;
   dst->size = out_pos;

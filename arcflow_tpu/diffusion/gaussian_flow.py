@@ -179,10 +179,15 @@ class GaussianFlow:
                                  f'Available: {sorted(SCHEDULERS.keys())}')
         kwargs = dict(cfg.get('sampler_kwargs', {}))
         import dataclasses as _dc
-        field_names = {f.name for f in _dc.fields(sched_cls)}
+        if _dc.is_dataclass(sched_cls):
+            accepts = {f.name for f in _dc.fields(sched_cls)}
+        else:
+            # builder function (e.g. FlowAdapterScheduler dispatcher): it
+            # filters unsupported kwargs itself
+            accepts = None
         for key in ('shift', 'use_dynamic_shifting', 'base_seq_len',
                     'max_seq_len', 'base_logshift', 'max_logshift'):
-            if key in field_names and key not in kwargs:
+            if (accepts is None or key in accepts) and key not in kwargs:
                 kwargs[key] = cfg.get(key, getattr(self.timestep_sampler, key))
         return sched_cls(num_train_timesteps=self.num_timesteps, **kwargs)
 

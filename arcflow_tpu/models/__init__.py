@@ -12,7 +12,8 @@ from .qwen_vae import PretrainedVAEQwenImage
 from .text_encoders import (PretrainedFluxTextEncoder,
                             PretrainedQwenImageTextEncoder,
                             PretrainedStableDiffusion3TextEncoder)
-from .unet import DenoisingUnetMod
+from .unet import (DenoisingUnetMod, ArcDenoisingUnetMod,
+                   ARCUNET_ADAPTER_KEYS)
 from .class_image import LatentDiffusionClassImage
 from .latent_diffusion import LatentDiffusionTextImage
 
@@ -27,4 +28,5 @@ __all__ = ['ToyMLPDenoiser', 'ToyArcFlowDenoiser', 'ToyGMFlowDenoiser',
            'PretrainedVAEQwenImage', 'PretrainedFluxTextEncoder',
            'PretrainedQwenImageTextEncoder',
            'PretrainedStableDiffusion3TextEncoder',
-           'DenoisingUnetMod', 'LatentDiffusionClassImage']
+           'DenoisingUnetMod', 'ArcDenoisingUnetMod', 'ARCUNET_ADAPTER_KEYS',
+           'LatentDiffusionClassImage']

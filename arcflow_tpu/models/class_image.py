@@ -29,6 +29,7 @@ class LatentDiffusionClassImage(BaseModel):
                  prob_class: float = 0.1, diffusion_use_ema: bool = True,
                  latent_shape: Tuple[int, int, int] = (32, 32, 4),
                  teacher_ckpt: Optional[str] = None, teacher_use_ema=True,
+                 student_init_from_teacher: bool = False,
                  train_cfg=None, test_cfg=None):
         super().__init__(train_cfg, test_cfg)
         self.diffusion = build_module(
@@ -42,6 +43,7 @@ class LatentDiffusionClassImage(BaseModel):
         self.latent_shape = tuple(latent_shape)
         self.teacher_ckpt = teacher_ckpt
         self.teacher_use_ema = teacher_use_ema
+        self.student_init_from_teacher = student_init_from_teacher
 
     @property
     def ema_keys(self):
@@ -70,7 +72,36 @@ class LatentDiffusionClassImage(BaseModel):
                 teacher = jax.tree.map(lambda ref, v: jnp.asarray(v, ref.dtype),
                                        teacher, src['diffusion'])
             frozen['teacher'] = teacher
+            if self.student_init_from_teacher:
+                trainable['diffusion'] = self._graft_student_from_teacher(
+                    trainable['diffusion'], teacher, rng_s)
         return trainable, frozen
+
+    def _graft_student_from_teacher(self, student, teacher, rng):
+        """Init the student trunk from the teacher and expand the teacher's
+        output conv into the K-way means head with seeded bias noise — the
+        UNet analogue of the reference's proj_out expansion
+        (arcflux.py:327-341)."""
+        from ..utils.pytree import flatten, unflatten
+        s_flat = dict(flatten(student))
+        t_flat = flatten(teacher)
+        for key, v in t_flat.items():
+            if key in s_flat and tuple(s_flat[key].shape) == tuple(v.shape):
+                s_flat[key] = jnp.asarray(v, s_flat[key].dtype)
+        if 'proj_out_means.kernel' in s_flat and 'conv_out.kernel' in t_flat:
+            kern = jnp.asarray(t_flat['conv_out.kernel'])   # (kh,kw,Cin,c)
+            bias = jnp.asarray(t_flat['conv_out.bias'])     # (c,)
+            c = kern.shape[-1]
+            k = s_flat['proj_out_means.kernel'].shape[-1] // c
+            tiled = jnp.tile(kern[..., None, :], (1, 1, 1, k, 1))
+            s_flat['proj_out_means.kernel'] = tiled.reshape(
+                *kern.shape[:3], k * c).astype(
+                s_flat['proj_out_means.kernel'].dtype)
+            noise = 0.05 * jax.random.normal(rng, (k, c), jnp.float32)
+            s_flat['proj_out_means.bias'] = (
+                jnp.tile(bias[None], (k, 1)) + noise).reshape(k * c).astype(
+                s_flat['proj_out_means.bias'].dtype)
+        return unflatten(s_flat)
 
     def _labels_with_dropout(self, rng: Array, labels: Array) -> Array:
         """Randomly replace labels with the null class (reference

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..parallel.mesh import shard_activation
 from ..registry import MODULES
 from .layers import (AdaLayerNormContinuous, AdaLayerNormZero,
                      AdaLayerNormZeroSingle, FeedForward, JointAttention,
@@ -200,10 +201,12 @@ class FluxBackbone(nn.Module):
         """packed: (B, N_img, in_channels) token latents. Returns
         (hidden (B, N_img, D), temb)."""
         dt = self.dtype
-        img = LoRADense(self.inner_dim, dtype=dt, name='x_embedder')(
-            packed.astype(dt))
-        txt = LoRADense(self.inner_dim, dtype=dt, name='context_embedder')(
-            encoder_hidden_states.astype(dt))
+        img = shard_activation(
+            LoRADense(self.inner_dim, dtype=dt, name='x_embedder')(
+                packed.astype(dt)), 'residual')
+        txt = shard_activation(
+            LoRADense(self.inner_dim, dtype=dt, name='context_embedder')(
+                encoder_hidden_states.astype(dt)), 'residual')
 
         t_scaled = t.astype(jnp.float32) * 1000.0
         g_scaled = guidance.astype(jnp.float32) * 1000.0 \

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..parallel.mesh import shard_activation
+
 Array = jax.Array
 Dtype = Any
 
@@ -164,9 +166,10 @@ class FeedForward(nn.Module):
     def __call__(self, x: Array) -> Array:
         h = LoRADense(self.dim * self.mult, lora_rank=self.lora_rank,
                       dtype=self.dtype, name='in_proj')(x)
-        h = nn.gelu(h, approximate=True)
-        return LoRADense(self.dim, lora_rank=self.lora_rank, dtype=self.dtype,
-                         name='out_proj')(h)
+        h = shard_activation(nn.gelu(h, approximate=True), 'hidden')
+        return shard_activation(
+            LoRADense(self.dim, lora_rank=self.lora_rank, dtype=self.dtype,
+                      name='out_proj')(h), 'residual')
 
 
 # ---- rotary embeddings -------------------------------------------------------
@@ -288,13 +291,18 @@ class JointAttention(nn.Module):
         cos, sin = rope
         q = apply_rope(q, cos[None, :, None, :], sin[None, :, None, :])
         k = apply_rope(k, cos[None, :, None, :], sin[None, :, None, :])
+        q, k, v = (shard_activation(t, 'heads') for t in (q, k, v))
 
-        out = attention(q, k, v, mask=mask).reshape(b, s_txt + s_img, inner)
+        out = shard_activation(
+            attention(q, k, v, mask=mask), 'heads'
+        ).reshape(b, s_txt + s_img, inner)
         txt_out, img_out = out[:, :s_txt], out[:, s_txt:]
-        img_out = LoRADense(self.dim, lora_rank=self.lora_rank,
-                            dtype=self.dtype, name='img_out')(img_out)
-        txt_out = LoRADense(self.dim, lora_rank=self.lora_rank,
-                            dtype=self.dtype, name='txt_out')(txt_out)
+        img_out = shard_activation(
+            LoRADense(self.dim, lora_rank=self.lora_rank,
+                      dtype=self.dtype, name='img_out')(img_out), 'residual')
+        txt_out = shard_activation(
+            LoRADense(self.dim, lora_rank=self.lora_rank,
+                      dtype=self.dtype, name='txt_out')(txt_out), 'residual')
         return img_out, txt_out
 
 
@@ -324,4 +332,6 @@ class SingleStreamAttention(nn.Module):
         cos, sin = rope
         q = apply_rope(q, cos[None, :, None, :], sin[None, :, None, :])
         k = apply_rope(k, cos[None, :, None, :], sin[None, :, None, :])
-        return attention(q, k, v).reshape(b, s, inner)
+        q, k, v = (shard_activation(t, 'heads') for t in (q, k, v))
+        return shard_activation(attention(q, k, v), 'heads'
+                                ).reshape(b, s, inner)

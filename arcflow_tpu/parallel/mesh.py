@@ -180,6 +180,78 @@ def shard_state(state, mesh: Mesh, fsdp_axis: str = 'fsdp',
     return placed, shardings
 
 
+# ---- activation sharding (megatron-style tensor parallelism) --------------
+#
+# Param sharding alone is TP-in-name-only: without activation constraints
+# XLA mostly all-gathers the weights back. These constraints pin the
+# attention heads and MLP hidden activations to the tensor axis so GSPMD
+# derives the megatron pattern (column-parallel qkv/in_proj, row-parallel
+# out projections with a psum) by itself.
+
+_ACT = {'mesh': None, 'batch_axes': ('data', 'fsdp'),
+        'tensor_axis': 'tensor'}
+
+
+def set_activation_sharding(mesh: Optional[Mesh],
+                            batch_axes: Sequence[str] = ('data', 'fsdp'),
+                            tensor_axis: str = 'tensor') -> None:
+    """Enable activation constraints inside model code (trace-time global:
+    set it before the train/inference step is first traced)."""
+    _ACT.update(mesh=mesh, batch_axes=tuple(batch_axes),
+                tensor_axis=tensor_axis)
+
+
+def clear_activation_sharding() -> None:
+    _ACT['mesh'] = None
+
+
+class activation_sharding:
+    """Context manager form of set/clear_activation_sharding."""
+
+    def __init__(self, mesh, **kw):
+        self.mesh, self.kw = mesh, kw
+
+    def __enter__(self):
+        set_activation_sharding(self.mesh, **self.kw)
+        return self
+
+    def __exit__(self, *exc):
+        clear_activation_sharding()
+
+
+def shard_activation(x, kind: str):
+    """Constrain one activation if a mesh is active; no-op otherwise.
+
+    kinds (leading dim is always the (data, fsdp) batch):
+      'residual' — (B, N, D) token stream, features replicated on tensor;
+      'heads'    — (B, N, H, hd) attention heads over the tensor axis;
+      'hidden'   — (B, N, F) wide MLP/attn-concat features over tensor.
+    """
+    mesh = _ACT['mesh']
+    if mesh is None:
+        return x
+    batch = tuple(a for a in _ACT['batch_axes']
+                  if mesh.shape.get(a, 1) > 1) or None
+    if batch and x.shape[0] % int(np.prod([mesh.shape[a]
+                                           for a in batch])) != 0:
+        batch = None   # e.g. batch-1 init traces
+    tp = _ACT['tensor_axis'] \
+        if mesh.shape.get(_ACT['tensor_axis'], 1) > 1 else None
+    if kind == 'residual':
+        spec = P(batch)
+    elif kind == 'heads':
+        if tp and x.shape[-2] % mesh.shape[tp] != 0:
+            tp = None
+        spec = P(batch, None, tp, None)
+    elif kind == 'hidden':
+        if tp and x.shape[-1] % mesh.shape[tp] != 0:
+            tp = None
+        spec = P(batch, None, tp)
+    else:
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = 'data',
                 extra: Sequence[str] = ('fsdp',)):
     """Place a host batch on the mesh, sharded over (data, fsdp).

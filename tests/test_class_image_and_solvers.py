@@ -32,7 +32,8 @@ class AnalyticGaussianDenoiser:
         return eps_hat - x0_hat
 
 
-@pytest.mark.parametrize('sampler', ['FlowDPMSolver', 'FlowUniPC'])
+@pytest.mark.parametrize('sampler', ['FlowDPMSolver', 'FlowUniPC',
+                                     'FlowDEIS', 'FlowSASolver'])
 def test_high_order_solvers_recover_target(sampler):
     flow = GaussianFlow(denoising=AnalyticGaussianDenoiser(),
                         num_timesteps=1000,
@@ -60,6 +61,51 @@ def test_dpmsolver_beats_euler_at_few_steps():
     err_euler = run('FlowEulerODE', 4)
     err_dpm = run('FlowDPMSolver', 4)
     assert err_dpm < err_euler, (err_dpm, err_euler)
+    err_deis = run('FlowDEIS', 4)
+    assert err_deis < err_euler, (err_deis, err_euler)
+
+
+def test_sasolver_tau_zero_equals_dpmsolver():
+    """tau=0 must reduce SA-Solver exactly to the deterministic
+    DPM-Solver++(2M) path."""
+    from arcflow_tpu.diffusion.schedulers import FlowSASolverScheduler
+
+    def run(sampler_kwargs):
+        flow = GaussianFlow(denoising=AnalyticGaussianDenoiser(),
+                            num_timesteps=1000,
+                            test_cfg=dict(sampler='FlowSASolver',
+                                          sampler_kwargs=sampler_kwargs,
+                                          num_timesteps=6))
+        noise = jax.random.normal(jax.random.PRNGKey(5), (64, 1, 1, 2))
+        return np.asarray(flow.forward_test({}, jax.random.PRNGKey(6), noise))
+
+    flow_dpm = GaussianFlow(denoising=AnalyticGaussianDenoiser(),
+                            num_timesteps=1000,
+                            test_cfg=dict(sampler='FlowDPMSolver',
+                                          num_timesteps=6))
+    noise = jax.random.normal(jax.random.PRNGKey(5), (64, 1, 1, 2))
+    ref = np.asarray(flow_dpm.forward_test({}, jax.random.PRNGKey(6), noise))
+    np.testing.assert_allclose(run(dict(tau=0.0)), ref, atol=1e-5)
+    # tau > 0 is genuinely stochastic yet stays on-distribution
+    x = run(dict(tau=1.0)).reshape(-1, 2)
+    assert np.abs(x - ref.reshape(-1, 2)).max() > 1e-3
+    assert np.abs(x.mean(0) - np.asarray(MU)).max() < 0.15
+
+
+def test_flow_adapter_dispatch():
+    """Reference FlowAdapterScheduler config names resolve to the native
+    solver family (default = UniPC, flow_adapter.py:36)."""
+    from arcflow_tpu.registry import SCHEDULERS
+    from arcflow_tpu.diffusion.schedulers import (
+        FlowDEISScheduler, FlowSASolverScheduler, FlowUniPCScheduler)
+    build = SCHEDULERS.get('FlowAdapterScheduler')
+    assert isinstance(build(), FlowUniPCScheduler)
+    assert isinstance(build(base_scheduler='DEISMultistep', shift=3.2),
+                      FlowDEISScheduler)
+    sa = build(base_scheduler='SASolver', tau=0.5)
+    assert isinstance(sa, FlowSASolverScheduler) and sa.tau == 0.5
+    with pytest.raises(AttributeError):
+        build(base_scheduler='Nope')
 
 
 def test_unet_shapes_and_class_conditioning():

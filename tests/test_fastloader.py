@@ -104,3 +104,14 @@ def test_prefetcher_order_and_errors():
     assert next(it) == 1
     with pytest.raises(ValueError):
         next(it)
+
+
+def test_native_truncated_record_raises(fast, tmp_path):
+    """A truncated zstd frame must raise, not return partial bytes."""
+    paths, _ = write_records(tmp_path, n=1, size=200000)
+    data = open(paths[0], 'rb').read()
+    bad = str(tmp_path / 'truncated.zst')
+    with open(bad, 'wb') as f:
+        f.write(data[:len(data) // 2])
+    with pytest.raises(IOError):
+        fast.load_batch([bad])

@@ -70,3 +70,60 @@ def test_sharded_matches_single_device():
     loss_n, w_n = run(True)
     np.testing.assert_allclose(loss_1, loss_n, rtol=1e-5)
     np.testing.assert_allclose(w_1, w_n, rtol=1e-5, atol=1e-6)
+
+
+def test_shard_activation_constraint_applies():
+    """The constraint must actually pin activations to the tensor axis
+    (GSPMD propagates it to the jit output when nothing re-shards after)."""
+    from arcflow_tpu.parallel import activation_sharding, make_mesh, \
+        shard_activation
+    mesh = make_mesh({'data': 2, 'fsdp': 2, 'tensor': 2})
+    with activation_sharding(mesh):
+        heads = jax.jit(lambda x: shard_activation(x, 'heads') * 2)(
+            jnp.zeros((4, 16, 4, 8)))
+        hidden = jax.jit(lambda x: shard_activation(x, 'hidden') * 2)(
+            jnp.zeros((4, 16, 32)))
+    assert heads.sharding.spec[2] == 'tensor', heads.sharding
+    assert hidden.sharding.spec[2] == 'tensor', hidden.sharding
+    assert heads.sharding.spec[0] == ('data', 'fsdp')
+    # no-op outside the context
+    out = jax.jit(lambda x: shard_activation(x, 'heads') * 2)(
+        jnp.zeros((4, 16, 4, 8)))
+    assert out.sharding.is_fully_replicated
+
+
+def test_tensor_parallel_forward_matches_unsharded():
+    """ArcFlux forward with TP activation constraints on a (data,fsdp,tensor)
+    mesh == the unsharded single-device forward."""
+    from arcflow_tpu.models import ArcFluxTransformer2DModel
+    from arcflow_tpu.parallel import (activation_sharding, make_mesh,
+                                      param_spec_for, shard_batch)
+    from jax.sharding import NamedSharding
+
+    net = dict(in_channels=16, num_layers=2, num_single_layers=2,
+               attention_head_dim=16, num_attention_heads=4,
+               joint_attention_dim=32, pooled_projection_dim=16,
+               axes_dims_rope=(4, 6, 6), guidance_embeds=False,
+               checkpointing=False)
+    model = ArcFluxTransformer2DModel(patch_size=2, num_gaussians=4, **net)
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    inputs = dict(
+        hidden_states=jax.random.normal(ks[0], (4, 8, 8, 4)),
+        t=jnp.full((4,), 0.7),
+        encoder_hidden_states=jax.random.normal(ks[1], (4, 8, 32)),
+        pooled_projections=jax.random.normal(ks[2], (4, 16)))
+    params = model.init(ks[3], **inputs)['params']
+    ref = model.apply({'params': params}, **inputs)
+
+    mesh = make_mesh({'data': 2, 'fsdp': 2, 'tensor': 2})
+    sharded_params = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, param_spec_for(
+            x, 'fsdp', 2, 'tensor', 2, min_size=256))), params)
+    sh_inputs = shard_batch(inputs, mesh)
+    with activation_sharding(mesh):
+        fn = jax.jit(lambda p, kw: model.apply({'params': p}, **kw))
+        got = fn(sharded_params, sh_inputs)
+    for key in ('means', 'logweights', 'loggammas'):
+        np.testing.assert_allclose(np.asarray(got[key]),
+                                   np.asarray(ref[key]), rtol=2e-3,
+                                   atol=2e-4, err_msg=key)
