@@ -87,7 +87,9 @@ class LatentDiffusionClassImage(BaseModel):
         t_flat = flatten(teacher)
         for key, v in t_flat.items():
             if key in s_flat and tuple(s_flat[key].shape) == tuple(v.shape):
-                s_flat[key] = jnp.asarray(v, s_flat[key].dtype)
+                # copy, don't alias: the trainable tree is donated by the
+                # train step while the frozen teacher keeps its buffer
+                s_flat[key] = jnp.array(v, dtype=s_flat[key].dtype)
         if 'proj_out_means.kernel' in s_flat and 'conv_out.kernel' in t_flat:
             kern = jnp.asarray(t_flat['conv_out.kernel'])   # (kh,kw,Cin,c)
             bias = jnp.asarray(t_flat['conv_out.bias'])     # (c,)

@@ -27,6 +27,7 @@ from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..parallel.mesh import shard_activation
@@ -92,7 +93,7 @@ class FluxJointBlock(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, carry, rope_temb):
+    def __call__(self, carry, rope_temb, cn=None):
         img, txt = carry
         rope, temb = rope_temb
         h_img, gate_i, shift_mlp_i, scale_mlp_i, gate_mlp_i = AdaLayerNormZero(
@@ -115,6 +116,10 @@ class FluxJointBlock(nn.Module):
         txt = txt + gate_mlp_t * FeedForward(
             self.dim, lora_rank=self.lora_rank, dtype=self.dtype,
             name='ff_txt')(h_txt)
+        if cn is not None:
+            # controlnet residual on the image stream, applied at block end
+            # (reference arcflux.py:200-210)
+            img = img + cn.astype(img.dtype)
         return (img, txt), None
 
 
@@ -129,7 +134,7 @@ class FluxSingleBlock(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, rope_temb):
+    def __call__(self, x, rope_temb, cn=None):
         rope, temb = rope_temb
         h, gate = AdaLayerNormZeroSingle(self.dim, dtype=self.dtype,
                                          name='norm')(x, temb)
@@ -142,11 +147,23 @@ class FluxSingleBlock(nn.Module):
         fused = jnp.concatenate([attn_out, mlp_h], axis=-1)
         out = LoRADense(self.dim, lora_rank=self.lora_rank, dtype=self.dtype,
                         name='proj_out')(fused)
-        return x + gate * out, None
+        x = x + gate * out
+        if cn is not None:
+            # controlnet residual on the image tokens only (the sequence is
+            # [txt, img]; reference arcflux.py:232-239)
+            s_txt = x.shape[1] - cn.shape[1]
+            x = x + jnp.pad(cn.astype(x.dtype),
+                            ((0, 0), (s_txt, 0), (0, 0)))
+        return x, None
 
 
-def _scan_blocks(block_cls, n_layers: int, name: str, remat: bool, **block_kw):
-    """Stack n identical blocks under nn.scan (+ optional remat)."""
+def _scan_blocks(block_cls, n_layers: int, name: str, remat: bool,
+                 scan_cn: bool = False, **block_kw):
+    """Stack n identical blocks under nn.scan (+ optional remat).
+
+    ``scan_cn`` adds a second, per-layer-scanned input (the controlnet
+    residual stack (L, B, N, D)); rope/temb stay layer-invariant.
+    """
     cls = block_cls
     if remat:
         cls = nn.remat(cls, prevent_cse=False)
@@ -154,9 +171,23 @@ def _scan_blocks(block_cls, n_layers: int, name: str, remat: bool, **block_kw):
         cls,
         variable_axes={'params': 0},
         split_rngs={'params': True},
-        in_axes=nn.broadcast,       # rope/temb are layer-invariant
+        in_axes=(nn.broadcast, 0) if scan_cn else nn.broadcast,
         length=n_layers,
     )(name=name, **block_kw)
+
+
+def _stack_controlnet_samples(samples, n_layers: int,
+                              repeat: bool) -> Array:
+    """Map per-controlnet-block residuals onto the n model blocks
+    (reference interval/repeat mapping, arcflux.py:200-210, 232-239):
+    returns a (L, B, N, D) stack indexable by the scan."""
+    n = len(samples)
+    if repeat:      # XLabs controlnets cycle their blocks
+        idx = np.arange(n_layers) % n
+    else:
+        interval = int(np.ceil(n_layers / n))
+        idx = np.arange(n_layers) // interval
+    return jnp.stack([samples[int(i)] for i in idx])
 
 
 def make_img_ids(h_tokens: int, w_tokens: int) -> Array:
@@ -197,7 +228,10 @@ class FluxBackbone(nn.Module):
     @nn.compact
     def trunk(self, packed: Array, t: Array, encoder_hidden_states: Array,
               pooled_projections: Array, img_ids: Array, txt_ids: Array,
-              guidance: Optional[Array] = None) -> Tuple[Array, Array]:
+              guidance: Optional[Array] = None,
+              controlnet_block_samples=None,
+              controlnet_single_block_samples=None,
+              controlnet_blocks_repeat: bool = False) -> Tuple[Array, Array]:
         """packed: (B, N_img, in_channels) token latents. Returns
         (hidden (B, N_img, D), temb)."""
         dt = self.dtype
@@ -221,22 +255,54 @@ class FluxBackbone(nn.Module):
 
         joint = _scan_blocks(
             FluxJointBlock, self.num_layers, 'joint_blocks',
-            remat=self.checkpointing, dim=self.inner_dim,
+            remat=self.checkpointing,
+            scan_cn=controlnet_block_samples is not None, dim=self.inner_dim,
             num_heads=self.num_attention_heads,
             head_dim=self.attention_head_dim, lora_rank=self.lora_rank,
             dtype=dt)
-        (img, txt), _ = joint((img, txt), (rope, temb))
+        if controlnet_block_samples is not None:
+            cn = _stack_controlnet_samples(
+                controlnet_block_samples, self.num_layers,
+                controlnet_blocks_repeat)
+            (img, txt), _ = joint((img, txt), (rope, temb), cn)
+        else:
+            (img, txt), _ = joint((img, txt), (rope, temb))
 
         hidden = jnp.concatenate([txt, img], axis=1)
         single = _scan_blocks(
             FluxSingleBlock, self.num_single_layers, 'single_blocks',
-            remat=self.checkpointing, dim=self.inner_dim,
+            remat=self.checkpointing,
+            scan_cn=controlnet_single_block_samples is not None,
+            dim=self.inner_dim,
             num_heads=self.num_attention_heads,
             head_dim=self.attention_head_dim, lora_rank=self.lora_rank,
             dtype=dt)
-        hidden, _ = single(hidden, (rope, temb))
+        if controlnet_single_block_samples is not None:
+            cn_s = _stack_controlnet_samples(
+                controlnet_single_block_samples, self.num_single_layers,
+                repeat=False)
+            hidden, _ = single(hidden, (rope, temb), cn_s)
+        else:
+            hidden, _ = single(hidden, (rope, temb))
         hidden = hidden[:, txt.shape[1]:]
         return hidden, temb
+
+    def _prepare_tokens(self, hidden_states, encoder_hidden_states,
+                        mask=None, masked_image_latents=None):
+        """patchify + optional Flux-fill concat (masked-image latents +
+        mask on the packed token features; reference flux.py:139-143 /
+        arcflux.py:431-435) + position ids."""
+        b, h, w, c = hidden_states.shape
+        p = self.patch_size
+        packed = patchify(hidden_states, p)
+        if mask is not None and masked_image_latents is not None:
+            packed = jnp.concatenate(
+                [packed,
+                 patchify(masked_image_latents.astype(packed.dtype), p),
+                 patchify(mask.astype(packed.dtype), p)], axis=-1)
+        img_ids = make_img_ids(h // p, w // p)
+        txt_ids = jnp.zeros((encoder_hidden_states.shape[1], 3), jnp.int32)
+        return packed, img_ids, txt_ids
 
 
 def patchify(latents: Array, p: int) -> Array:
@@ -266,16 +332,23 @@ class FluxTransformer2DModel(FluxBackbone):
     def __call__(self, hidden_states: Array, t: Array,
                  encoder_hidden_states: Array = None,
                  pooled_projections: Array = None,
-                 guidance: Optional[Array] = None, **kwargs) -> Array:
+                 guidance: Optional[Array] = None,
+                 mask: Optional[Array] = None,
+                 masked_image_latents: Optional[Array] = None,
+                 controlnet_block_samples=None,
+                 controlnet_single_block_samples=None,
+                 controlnet_blocks_repeat: bool = False, **kwargs) -> Array:
         b, h, w, c = hidden_states.shape
         p = self.patch_size
-        packed = patchify(hidden_states, p)
-        img_ids = make_img_ids(h // p, w // p)
-        txt_ids = jnp.zeros((encoder_hidden_states.shape[1], 3), jnp.int32)
+        packed, img_ids, txt_ids = self._prepare_tokens(
+            hidden_states, encoder_hidden_states, mask, masked_image_latents)
 
-        hidden, temb = self.trunk(packed, t, encoder_hidden_states,
-                                  pooled_projections, img_ids, txt_ids,
-                                  guidance)
+        hidden, temb = self.trunk(
+            packed, t, encoder_hidden_states, pooled_projections, img_ids,
+            txt_ids, guidance,
+            controlnet_block_samples=controlnet_block_samples,
+            controlnet_single_block_samples=controlnet_single_block_samples,
+            controlnet_blocks_repeat=controlnet_blocks_repeat)
         hidden = AdaLayerNormContinuous(self.inner_dim, dtype=self.dtype,
                                         name='norm_out')(hidden, temb)
         out = LoRADense(p * p * c, dtype=jnp.float32, name='proj_out')(
@@ -305,17 +378,24 @@ class ArcFluxTransformer2DModel(FluxBackbone):
     def __call__(self, hidden_states: Array, t: Array,
                  encoder_hidden_states: Array = None,
                  pooled_projections: Array = None,
-                 guidance: Optional[Array] = None, **kwargs) -> dict:
+                 guidance: Optional[Array] = None,
+                 mask: Optional[Array] = None,
+                 masked_image_latents: Optional[Array] = None,
+                 controlnet_block_samples=None,
+                 controlnet_single_block_samples=None,
+                 controlnet_blocks_repeat: bool = False, **kwargs) -> dict:
         b, h, w, c = hidden_states.shape
         p = self.patch_size
         k = self.num_gaussians
-        packed = patchify(hidden_states, p)
-        img_ids = make_img_ids(h // p, w // p)
-        txt_ids = jnp.zeros((encoder_hidden_states.shape[1], 3), jnp.int32)
+        packed, img_ids, txt_ids = self._prepare_tokens(
+            hidden_states, encoder_hidden_states, mask, masked_image_latents)
 
-        hidden, temb = self.trunk(packed, t, encoder_hidden_states,
-                                  pooled_projections, img_ids, txt_ids,
-                                  guidance)
+        hidden, temb = self.trunk(
+            packed, t, encoder_hidden_states, pooled_projections, img_ids,
+            txt_ids, guidance,
+            controlnet_block_samples=controlnet_block_samples,
+            controlnet_single_block_samples=controlnet_single_block_samples,
+            controlnet_blocks_repeat=controlnet_blocks_repeat)
         hidden = AdaLayerNormContinuous(self.inner_dim, dtype=self.dtype,
                                         name='norm_out')(hidden, temb)
         hidden = hidden.astype(jnp.float32)

@@ -66,10 +66,17 @@ class LatentDiffusionTextImage(BaseModel):
             # trunk; an untied teacher loads the same checkpoint separately
             self.teacher_pretrained = t_denoising.pop('pretrained', None) \
                 or self.pretrained
+            # teacher multi-LoRA fuse loading (reference
+            # diffusers/flux.py:57-68: pretrained_lora list + scales)
+            self.teacher_pretrained_lora = t_denoising.pop(
+                'pretrained_lora', None)
+            self.teacher_pretrained_lora_scale = t_denoising.pop(
+                'pretrained_lora_scale', 1.0)
             if teacher.get('denoising'):
                 teacher['denoising'] = t_denoising
         else:
             self.teacher_pretrained = None
+            self.teacher_pretrained_lora = None
         self.diffusion = build_module(
             diffusion, default_args=dict(train_cfg=self.train_cfg,
                                          test_cfg=self.test_cfg))
@@ -135,6 +142,15 @@ class LatentDiffusionTextImage(BaseModel):
             from ..pipelines.convert import (expand_proj_out_to_arc_heads,
                                              graft_pretrained)
             converted = self._load_pretrained_tree(self.pretrained)
+            if (self.teacher_pretrained_lora is not None and self.tie_teacher
+                    and self.teacher_pretrained == self.pretrained):
+                # tied trunk: the teacher's fused LoRAs ARE the shared base
+                # (the reference builds the teacher first and ties its
+                # weights into the student, base_diffusion.py:84-94)
+                from ..pipelines.convert import fuse_pretrained_loras
+                converted = fuse_pretrained_loras(
+                    converted, self.teacher_pretrained_lora,
+                    self.teacher_pretrained_lora_scale, family=self._family)
             # teacher proj_out -> K-way means head with seeded bias noise
             # (reference arcflux.py:327-341); logweights/loggamma heads and
             # LoRA keep their designed init, so they land in `missing`.
@@ -171,6 +187,13 @@ class LatentDiffusionTextImage(BaseModel):
                     self.teacher_pretrained == self.pretrained
                     and converted is not None) \
                     else self._load_pretrained_tree(self.teacher_pretrained)
+                if self.teacher_pretrained_lora is not None \
+                        and t_converted is not converted:
+                    from ..pipelines.convert import fuse_pretrained_loras
+                    t_converted = fuse_pretrained_loras(
+                        t_converted, self.teacher_pretrained_lora,
+                        self.teacher_pretrained_lora_scale,
+                        family=self._family)
                 teacher_full, _, t_unexpected = graft_pretrained(
                     teacher_full, t_converted)
                 if t_unexpected:

@@ -110,9 +110,24 @@ class PretrainedQwenImageTextEncoder:
         tf = _require_transformers()
         import torch
         self.tokenizer = tf.AutoTokenizer.from_pretrained(self.pretrained)
-        self.model = tf.AutoModelForCausalLM.from_pretrained(
-            self.pretrained, torch_dtype=getattr(torch, self.dtype_name),
-            output_hidden_states=True)
+        # Qwen2.5-VL checkpoints are *ForConditionalGeneration — the causal-LM
+        # auto class does not map them. Try the VL class first (what
+        # diffusers' QwenImagePipeline loads), fall back for text-only repos.
+        cls = getattr(tf, 'Qwen2_5_VLForConditionalGeneration', None)
+        errors = []
+        for candidate in (cls, getattr(tf, 'AutoModelForImageTextToText',
+                                       None), tf.AutoModelForCausalLM):
+            if candidate is None:
+                continue
+            try:
+                self.model = candidate.from_pretrained(
+                    self.pretrained,
+                    torch_dtype=getattr(torch, self.dtype_name))
+                break
+            except (ValueError, OSError, KeyError) as e:
+                errors.append((candidate.__name__, e))
+        else:
+            raise RuntimeError(f'could not load {self.pretrained}: {errors}')
         self.model.eval()
         self._loaded = True
 
@@ -144,21 +159,78 @@ class PretrainedQwenImageTextEncoder:
 
 @MODULES.register_module()
 class PretrainedStableDiffusion3TextEncoder:
-    """SD3 triple encoder (2x CLIP pooled+seq, T5 seq) — reference
-    pretrained.py:242-281. Provided for capability parity; built from the
-    same FlaxCLIP/T5 parts as the FLUX encoder."""
+    """SD3 triple encoder — reference pretrained.py:242-281, producing the
+    real SD3 embedding layout (diffusers SD3Pipeline.encode_prompt):
+
+      encoder_hidden_states:
+        concat_seq( pad_feat(concat_feat(clip_l_hidden[-2] (B,77,768),
+                                         clip_g_hidden[-2] (B,77,1280)),
+                             -> t5_dim),
+                    t5_seq (B, max_len, t5_dim) )
+      pooled_projections: concat(clip_l_text_embeds, clip_g_text_embeds)
+                          (B, 2048)
+    """
 
     def __init__(self, clip_l_path: str = 'openai/clip-vit-large-patch14',
                  clip_g_path: str = 'laion/CLIP-ViT-bigG-14-laion2B-39B-b160k',
                  t5_path: str = 'google/t5-v1_1-xxl',
                  max_sequence_length: int = 256, dtype: str = 'bfloat16',
                  **kwargs):
-        self.flux_like = PretrainedFluxTextEncoder(
-            clip_path=clip_l_path, t5_path=t5_path,
-            max_sequence_length=max_sequence_length, dtype=dtype)
+        self.clip_l_path = clip_l_path
         self.clip_g_path = clip_g_path
+        self.t5_path = t5_path
+        self.max_sequence_length = max_sequence_length
+        self.dtype = getattr(jnp, dtype)
+        self._loaded = False
+
+    def _load(self):
+        if self._loaded:
+            return
+        tf = _require_transformers()
+        proj_cls = getattr(tf, 'FlaxCLIPTextModelWithProjection',
+                           tf.FlaxCLIPTextModel)
+
+        def load_clip(path):
+            tok = tf.CLIPTokenizer.from_pretrained(path)
+            try:
+                model = proj_cls.from_pretrained(path, dtype=self.dtype)
+            except (OSError, ValueError):
+                model = proj_cls.from_pretrained(path, dtype=self.dtype,
+                                                 from_pt=True)
+            return tok, model
+
+        self.clip_l_tok, self.clip_l = load_clip(self.clip_l_path)
+        self.clip_g_tok, self.clip_g = load_clip(self.clip_g_path)
+        self.t5_tokenizer = tf.T5TokenizerFast.from_pretrained(self.t5_path)
+        self.t5 = tf.FlaxT5EncoderModel.from_pretrained(self.t5_path,
+                                                        dtype=self.dtype)
+        self._loaded = True
+
+    def _clip_embed(self, tok, model, prompt):
+        inputs = tok(list(prompt), padding='max_length', max_length=77,
+                     truncation=True, return_tensors='np')
+        out = model(input_ids=inputs['input_ids'],
+                    output_hidden_states=True)
+        hidden = out.hidden_states[-2]          # penultimate, SD3 convention
+        pooled = getattr(out, 'text_embeds', None)
+        if pooled is None:
+            pooled = out.pooler_output
+        return hidden, pooled
 
     def __call__(self, prompt: Sequence[str], **kwargs) -> Dict[str, Any]:
-        # minimal functional composition; exact SD3 concat layout is handled
-        # by its pipeline when that model family lands
-        return self.flux_like(prompt, **kwargs)
+        self._load()
+        h_l, p_l = self._clip_embed(self.clip_l_tok, self.clip_l, prompt)
+        h_g, p_g = self._clip_embed(self.clip_g_tok, self.clip_g, prompt)
+        clip_seq = jnp.concatenate([h_l, h_g], axis=-1)    # (B, 77, 2048)
+
+        t5_inputs = self.t5_tokenizer(
+            list(prompt), padding='max_length',
+            max_length=self.max_sequence_length, truncation=True,
+            return_tensors='np')
+        t5_seq = self.t5(input_ids=t5_inputs['input_ids']).last_hidden_state
+        clip_seq = jnp.pad(
+            clip_seq, ((0, 0), (0, 0),
+                       (0, t5_seq.shape[-1] - clip_seq.shape[-1])))
+        return dict(
+            encoder_hidden_states=jnp.concatenate([clip_seq, t5_seq], axis=1),
+            pooled_projections=jnp.concatenate([p_l, p_g], axis=-1))

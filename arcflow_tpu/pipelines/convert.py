@@ -542,6 +542,25 @@ def fuse_lora(tree: Dict, scale: float = 1.0) -> Dict:
     return unflatten(out)
 
 
+def fuse_pretrained_loras(tree: Dict, lora_paths, lora_scales=1.0,
+                          family: str = 'flux') -> Dict:
+    """Teacher multi-LoRA fuse loading (reference diffusers/flux.py:57-68):
+    each adapter's LoRA deltas are folded into the base kernels at its own
+    scale, in order. Non-LoRA adapter keys are ignored (the reference's
+    ``load_lora_adapter`` consumes only lora keys)."""
+    from ..utils.pytree import merge_params, partition_params
+    from .loader import load_adapter_state
+    paths = [lora_paths] if isinstance(lora_paths, str) else list(lora_paths)
+    scales = [lora_scales] * len(paths) \
+        if isinstance(lora_scales, (int, float)) else list(lora_scales)
+    assert len(scales) == len(paths), (paths, scales)
+    for path, scale in zip(paths, scales):
+        adapter, _ = load_adapter_state(path, family=family)
+        lora_only, _ = partition_params(adapter, ('lora_a', 'lora_b'))
+        tree = fuse_lora(merge_params(tree, lora_only), scale=float(scale))
+    return tree
+
+
 def graft_pretrained(init_tree: Dict, converted: Dict,
                      strict_shapes: bool = True) -> Tuple[Dict, list, list]:
     """Overlay converted weights onto an init tree; report missing/unexpected.

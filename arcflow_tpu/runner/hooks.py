@@ -13,7 +13,7 @@ import json
 import logging
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Sequence
 
 import numpy as np
 
@@ -92,6 +92,41 @@ class JsonLoggerHook(Hook):
 
 
 @HOOKS.register_module()
+class TensorboardLoggerHook(Hook):
+    """Real TensorBoard event stream (reference log_config TB hook) via
+    torch.utils.tensorboard; scalars from the runner's log buffer."""
+
+    priority = 90
+
+    def __init__(self, interval: int = 50, log_dir: Optional[str] = None):
+        self.interval = interval
+        self.log_dir = log_dir
+        self._writer = None
+
+    def _get_writer(self, runner):
+        if self._writer is None:
+            from torch.utils.tensorboard import SummaryWriter
+            self._writer = SummaryWriter(
+                self.log_dir or os.path.join(runner.work_dir, 'tf_logs'))
+        return self._writer
+
+    def after_train_iter(self, runner):
+        if runner.iter % self.interval != 0:
+            return
+        w = self._get_writer(runner)
+        for k, v in runner.log_buffer.items():
+            try:
+                w.add_scalar(k, float(np.asarray(v)), runner.iter)
+            except (TypeError, ValueError):
+                continue
+        w.flush()
+
+    def after_run(self, runner):
+        if self._writer is not None:
+            self._writer.close()
+
+
+@HOOKS.register_module()
 class QuartileLossLoggerHook(Hook):
     """EMA of per-sample loss/var grouped by timestep quartile.
 
@@ -144,11 +179,15 @@ class EvalHook(Hook):
     priority = 60
 
     def __init__(self, interval: int = 1000, batch: Optional[dict] = None,
-                 num_samples: int = 64, val_kwargs: Optional[dict] = None):
+                 num_samples: int = 64, val_kwargs: Optional[dict] = None,
+                 metrics: Sequence[str] = ('latent_fd',),
+                 clip_path: Optional[str] = None):
         self.interval = interval
         self.batch = batch
         self.num_samples = num_samples
         self.val_kwargs = val_kwargs or {}
+        self.metrics = tuple(metrics or ())
+        self.clip_path = clip_path
 
     def after_train_iter(self, runner):
         if runner.iter % self.interval != 0:
@@ -163,14 +202,30 @@ class EvalHook(Hook):
         os.makedirs(out_dir, exist_ok=True)
         if isinstance(out, dict) and 'pred_imgs' in out:
             from ..utils.io_utils import save_image_grid
-            save_image_grid(np.asarray(out['pred_imgs']),
+            imgs = np.asarray(out['pred_imgs'])
+            save_image_grid(imgs,
                             os.path.join(out_dir, f'iter_{runner.iter}.png'))
+            if 'clip_score' in self.metrics and isinstance(batch, dict) \
+                    and batch.get('prompt'):
+                from ..utils.metrics import clip_score
+                score = clip_score(imgs, batch['prompt'],
+                                   **({'clip_path': self.clip_path}
+                                      if self.clip_path else {}))
+                if score is not None:
+                    runner.log_buffer['eval_clip_score'] = score
         else:
             arr = np.asarray(out['pred_latents']) if isinstance(out, dict) \
                 else np.asarray(out)
             np.savez(os.path.join(out_dir, f'iter_{runner.iter}.npz'),
                      samples=arr)
             runner.log_buffer['eval_sample_std'] = float(arr.std())
+            # quantitative quality: Fréchet distance between generated and
+            # reference latents (the batch's real data) when available
+            if 'latent_fd' in self.metrics and isinstance(batch, dict) \
+                    and batch.get('latents') is not None:
+                from ..utils.metrics import latent_frechet_distance
+                runner.log_buffer['eval_latent_fd'] = latent_frechet_distance(
+                    arr, np.asarray(batch['latents']))
         runner.logger.info(f'eval @ iter {runner.iter} written to {out_dir}')
 
 

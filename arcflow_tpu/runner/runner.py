@@ -88,13 +88,12 @@ def build_hooks(log_config: Optional[dict] = None, extra_hooks: Sequence = (),
         for h_cfg in log_config.get('hooks', []):
             h_cfg = dict(h_cfg)
             h_type = h_cfg.pop('type')
-            # map reference hook names onto the local equivalents
-            alias = {'TensorboardLoggerHook': 'JsonLoggerHook',
-                     'WandbLoggerHook': 'JsonLoggerHook'}
+            # wandb is served by the jsonl stream (no egress); TB is native
+            alias = {'WandbLoggerHook': 'JsonLoggerHook'}
             if h_type in alias:
                 logger.warning(
                     f'{h_type} is served by {alias[h_type]} (metrics.jsonl '
-                    f'replaces TB/wandb event streams in this build)')
+                    f'replaces the wandb event stream in this build)')
                 h_type = alias[h_type]
             if h_type not in HOOKS:
                 logger.warning(f'unknown hook type {h_type!r} skipped')

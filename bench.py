@@ -33,7 +33,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build(num_layers, num_single_layers, latent=128, txt=512, k=16):
+def build(num_layers, num_single_layers, latent=128, txt=512, k=16,
+          mesh=None):
     from arcflow_tpu.models import ArcFluxTransformer2DModel
     from arcflow_tpu.diffusion import (ArcFlowPolicy, ContinuousTimeStepSampler,
                                        momentum_integration)
@@ -62,7 +63,23 @@ def build(num_layers, num_single_layers, latent=128, txt=512, k=16):
         # init keeps peak HBM at one fp32 param, not the whole fp32 tree
         return jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
 
-    params = jax.jit(init_fn)(ks[3])
+    if mesh is not None:
+        # sharded inference: params over fsdp(+tensor), activations pinned
+        # (the multi-chip path for the full 12B geometry; runs wherever
+        # >1 devices exist — the 1-chip bench env uses mesh=None)
+        from jax.sharding import NamedSharding
+        from arcflow_tpu.parallel import (param_spec_for,
+                                          set_activation_sharding)
+        set_activation_sharding(mesh)
+        fsdp = mesh.shape.get('fsdp', 1)
+        tensor = mesh.shape.get('tensor', 1)
+        shapes = jax.eval_shape(init_fn, ks[3])
+        shardings = jax.tree.map(
+            lambda x: NamedSharding(mesh, param_spec_for(
+                x, 'fsdp', fsdp, 'tensor', tensor)), shapes)
+        params = jax.jit(init_fn, out_shardings=shardings)(ks[3])
+    else:
+        params = jax.jit(init_fn)(ks[3])
     jax.block_until_ready(params)
 
     # full 2-NFE sampling program: 2 DiT forwards + analytic integration
@@ -105,8 +122,8 @@ def bench_vae_decode(latent=128, iters=4):
     return (time.perf_counter() - t0) / iters
 
 
-def try_bench(layers, single_layers, iters=8):
-    fn, args, model = build(layers, single_layers)
+def try_bench(layers, single_layers, iters=8, mesh=None):
+    fn, args, model = build(layers, single_layers, mesh=mesh)
     n_params = sum(x.size for x in jax.tree.leaves(args[0]))
     log(f'config: {layers} joint + {single_layers} single blocks, '
         f'{n_params / 1e9:.2f}B params')
@@ -127,14 +144,36 @@ def try_bench(layers, single_layers, iters=8):
 
 
 def main():
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument('--layers', type=int, default=None,
+                   help='pin joint-block depth (default: largest that fits)')
+    p.add_argument('--single', type=int, default=None)
+    p.add_argument('--sharded', action='store_true',
+                   help='shard the FULL 12B geometry over all devices '
+                        '(fsdp mesh); use on multi-chip hosts')
+    args_cli = p.parse_args()
+
     setup_jax()
     log(f'devices: {jax.devices()}')
 
-    # largest full-width depth that fits chip HBM, keeping the 1:2 ratio;
-    # FLUX-12B is (19, 38)
-    for layers, single in [(8, 16), (6, 12), (4, 8), (2, 4)]:
+    mesh = None
+    if args_cli.sharded:
+        from arcflow_tpu.parallel import make_mesh
+        n = jax.device_count()
+        mesh = make_mesh({'fsdp': n})
+        log(f'sharded bench over fsdp={n}')
+        configs = [(args_cli.layers or 19, args_cli.single or 38)]
+    elif args_cli.layers is not None:
+        configs = [(args_cli.layers, args_cli.single or args_cli.layers * 2)]
+    else:
+        # largest full-width depth that fits chip HBM, keeping the 1:2
+        # ratio; FLUX-12B is (19, 38)
+        configs = [(8, 16), (6, 12), (4, 8), (2, 4)]
+
+    for layers, single in configs:
         try:
-            per_img, n_params = try_bench(layers, single)
+            per_img, n_params = try_bench(layers, single, mesh=mesh)
             break
         except Exception as e:  # noqa: BLE001 - OOM fallback
             log(f'config ({layers},{single}) failed: {type(e).__name__}: '

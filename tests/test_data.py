@@ -136,3 +136,43 @@ def test_imagenet_latents_mode(tmp_path):
     item = ds[2]
     assert item['latents'].shape == (8, 8, 4)
     assert item['label'] == 0
+
+
+def test_comfy_flux_lora_conversion():
+    """Comfy/Kohya BFL lora naming -> diffusers peft naming, with exact
+    fused-qkv splitting and alpha folding."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+    from convert_comfy_flux_lora_to_diffusers import convert_comfy_flux_lora
+
+    d, r = 8, 2
+    rng = np.random.default_rng(0)
+    state = {
+        'lora_unet_double_blocks_0_img_attn_qkv.lora_down.weight':
+            rng.standard_normal((r, d)).astype(np.float32),
+        'lora_unet_double_blocks_0_img_attn_qkv.lora_up.weight':
+            rng.standard_normal((3 * d, r)).astype(np.float32),
+        'lora_unet_double_blocks_0_img_attn_qkv.alpha':
+            np.float32(4.0),
+        'lora_unet_single_blocks_1_linear2.lora_down.weight':
+            rng.standard_normal((r, 5 * d)).astype(np.float32),
+        'lora_unet_single_blocks_1_linear2.lora_up.weight':
+            rng.standard_normal((d, r)).astype(np.float32),
+    }
+    out = convert_comfy_flux_lora(state, attention_head_dim=d,
+                                  num_attention_heads=1)
+    down = state['lora_unet_double_blocks_0_img_attn_qkv.lora_down.weight']
+    up = state['lora_unet_double_blocks_0_img_attn_qkv.lora_up.weight']
+    # A shared, B split per projection, alpha/rank folded (4/2 = 2x)
+    np.testing.assert_array_equal(
+        out['transformer.transformer_blocks.0.attn.to_q.lora_A.weight'], down)
+    np.testing.assert_allclose(
+        out['transformer.transformer_blocks.0.attn.to_k.lora_B.weight'],
+        up[d:2 * d] * 2.0, rtol=1e-6)
+    np.testing.assert_array_equal(
+        out['transformer.single_transformer_blocks.1.proj_out.lora_B.weight'],
+        state['lora_unet_single_blocks_1_linear2.lora_up.weight'])
+    assert len(out) == 8
+    with pytest.raises(KeyError):
+        convert_comfy_flux_lora({'lora_unet_weird.lora_down.weight':
+                                 np.zeros((1, 1))})

@@ -173,3 +173,56 @@ def test_teacher_forward_shape():
     u = teacher.apply({'params': params}, **inputs)
     assert u.shape == inputs['hidden_states'].shape
     assert u.dtype == jnp.float32
+
+
+def test_controlnet_residuals_change_output():
+    """ControlNet residual hooks (reference arcflux.py:200-239): per-block
+    samples shift the output; interval and repeat mappings both work."""
+    from tests.test_pipelines import TINY, tiny_teacher_params
+    teacher, params, inputs = tiny_teacher_params()
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    inputs = dict(hidden_states=jax.random.normal(ks[0], (1, 8, 8, 4)),
+                  t=jnp.full((1,), 0.5),
+                  encoder_hidden_states=jax.random.normal(ks[1], (1, 6, 64)),
+                  pooled_projections=jax.random.normal(ks[2], (1, 32)),
+                  guidance=jnp.full((1,), 2.0))
+    base = teacher.apply({'params': params}, **inputs)
+    b, n, d = 1, 16, teacher.inner_dim    # 8x8 latents, p=2 -> 16 tokens
+    cn = [0.1 * jnp.ones((b, n, d))]      # 1 sample over 2 joint blocks
+    out = teacher.apply({'params': params}, **inputs,
+                        controlnet_block_samples=cn)
+    assert np.abs(np.asarray(out) - np.asarray(base)).max() > 1e-4
+    out_rep = teacher.apply({'params': params}, **inputs,
+                            controlnet_block_samples=cn,
+                            controlnet_blocks_repeat=True)
+    assert np.isfinite(np.asarray(out_rep)).all()
+    cn_s = [0.1 * jnp.ones((b, n, d)), 0.2 * jnp.ones((b, n, d))]
+    out_s = teacher.apply({'params': params}, **inputs,
+                          controlnet_single_block_samples=cn_s)
+    assert np.abs(np.asarray(out_s) - np.asarray(base)).max() > 1e-4
+
+
+def test_flux_fill_mask_concat():
+    """Flux-fill: mask + masked-image latents concat onto the packed token
+    features (reference arcflux.py:431-435); in_channels grows to
+    c*p^2 * 2 + p^2 for the fill variant."""
+    from arcflow_tpu.models import FluxTransformer2DModel
+    from tests.test_pipelines import TINY
+    kw = dict(TINY)
+    kw['in_channels'] = 4 * 4 + 4 * 4 + 4   # latents + masked + mask, p=2
+    model = FluxTransformer2DModel(patch_size=2, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+    mask = jnp.ones((1, 8, 8, 1))
+    masked = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    inputs = dict(t=jnp.full((1,), 0.5),
+                  encoder_hidden_states=jnp.zeros((1, 6, 64)),
+                  pooled_projections=jnp.zeros((1, 32)),
+                  guidance=jnp.zeros((1,)),
+                  mask=mask, masked_image_latents=masked)
+    params = model.init(jax.random.PRNGKey(2), x, **inputs)['params']
+    out = model.apply({'params': params}, x, **inputs)
+    assert out.shape == (1, 8, 8, 4)
+    # the mask genuinely conditions the output
+    out2 = model.apply({'params': params}, x,
+                       **{**inputs, 'mask': jnp.zeros((1, 8, 8, 1))})
+    assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-4

@@ -206,3 +206,42 @@ def test_pretrained_adapter_fuses_into_base(tmp_path):
     new_ad = flatten(trainable['diffusion'])
     assert np.all(np.asarray(new_ad[f'{key}.lora_b']) == 0)
     assert np.asarray(new_ad[f'{key}.lora_a']).shape == a.shape
+
+
+def test_teacher_multi_lora_fuse_shared_trunk(tmp_path):
+    """teacher.denoising.pretrained_lora=[a, b] with per-adapter scales fuse
+    into the shared trunk in order (reference diffusers/flux.py:57-68)."""
+    _, t_params, _ = _write_sharded_ckpt(tmp_path)
+
+    # fabricate two lora adapters over the same target modules
+    donor = _model(str(tmp_path))
+    d_trainable, _ = donor.init_params(jax.random.PRNGKey(11))
+    from arcflow_tpu.utils.pytree import unflatten
+    paths, loras = [], []
+    for j in range(2):
+        ad = flatten(d_trainable['diffusion'])
+        rng = jax.random.PRNGKey(20 + j)
+        lora = {}
+        for k in list(ad):
+            if k.endswith(('.lora_a', '.lora_b')):
+                rng, sub = jax.random.split(rng)
+                lora[k] = 0.01 * jax.random.normal(sub, ad[k].shape)
+        path = str(tmp_path / f'lora{j}.safetensors')
+        save_adapter_state(path, unflatten(lora))
+        paths.append(path)
+        loras.append(lora)
+
+    model = _model(str(tmp_path))
+    model.teacher_pretrained_lora = paths
+    model.teacher_pretrained_lora_scale = [1.0, 0.5]
+    trainable, frozen = model.init_params(jax.random.PRNGKey(12))
+
+    key = 'joint_blocks.ff_img.in_proj'
+    base = np.asarray(flatten(t_params)[f'{key}.kernel'])
+    want = base.copy()
+    for lora, scale in zip(loras, (1.0, 0.5)):
+        a = np.asarray(lora[f'{key}.lora_a'])
+        b = np.asarray(lora[f'{key}.lora_b'])
+        want = want + scale * np.einsum('lir,lro->lio', a, b)
+    got = np.asarray(flatten(frozen['base'])[f'{key}.kernel'])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)

@@ -103,3 +103,72 @@ def test_teacher_student_base_compatibility():
                                       exact_prefix=True), adapter)
     out = student.apply({'params': merged}, **inputs)
     assert np.isfinite(np.asarray(out['means'])).all()
+
+
+def test_qwen_convert_roundtrip_and_pretrained_init(tmp_path):
+    """Qwen family: flax -> torch naming -> flax identity, and
+    denoising.pretrained= loads the converted checkpoint into the shared
+    trunk of a tied teacher/student distillation model."""
+    import os
+    from safetensors.numpy import save_file
+    from arcflow_tpu.models import LatentDiffusionTextImage
+    from arcflow_tpu.pipelines import (flax_to_torch_flux, graft_pretrained,
+                                       torch_flux_to_flax)
+
+    teacher = QwenImageTransformer2DModel(patch_size=2, **TINY)
+    inputs = tiny_inputs()
+    t_params = teacher.init(jax.random.PRNGKey(5), **inputs)['params']
+    torch_state = flax_to_torch_flux(t_params, family='qwen')
+    assert all(not k.startswith('transformer_blocks_') for k in torch_state)
+    tree, unused = torch_flux_to_flax(torch_state, num_layers=2,
+                                      family='qwen')
+    assert not unused, sorted(unused)[:5]
+    merged, missing, unexpected = graft_pretrained(t_params, tree)
+    assert not missing and not unexpected, (missing[:5], unexpected[:5])
+    out_ref = teacher.apply({'params': t_params}, **inputs)
+    out_conv = teacher.apply({'params': merged}, **inputs)
+    np.testing.assert_allclose(np.asarray(out_conv), np.asarray(out_ref),
+                               atol=1e-5)
+
+    path = str(tmp_path / 'qwen.safetensors')
+    save_file({k: np.ascontiguousarray(v) for k, v in torch_state.items()},
+              path)
+    model = LatentDiffusionTextImage(
+        diffusion=dict(
+            type='ArcFlowImitationDataFree', policy_type='ArcFlow',
+            denoising=dict(type='ArcQwenImageTransformer2DModel',
+                           patch_size=2, num_gaussians=4, lora_rank=4,
+                           pretrained=path, **TINY),
+            flow_loss=dict(type='DiffusionMSELoss',
+                           data_info=dict(pred='u_t_pred', target='u_t'),
+                           rescale_cfg=dict(scale=30.0)),
+            num_timesteps=1,
+            timestep_sampler=dict(type='ContinuousTimeStepSampler',
+                                  shift=3.2)),
+        teacher=dict(type='GaussianFlow',
+                     denoising=dict(type='QwenImageTransformer2DModel',
+                                    patch_size=2, **TINY),
+                     num_timesteps=1),
+        tie_teacher=True, latent_shape=(8, 8, 4), text_embed_dim=48,
+        pooled_dim=8,
+        train_cfg=dict(nfe=2, timestep_ratio=1.0, total_substeps=128,
+                       num_intermediate_states=2, window_substeps=3,
+                       gm_dropout=0.1, num_decay_iters=100,
+                       teacher_guidance_scale=1.0),
+        test_cfg=dict(nfe=2, timestep_ratio=1.0))
+    assert model._family == 'qwen'
+    trainable, frozen = model.init_params(jax.random.PRNGKey(6))
+    base_flat = flatten(frozen['base'])
+    t_flat = flatten(t_params)
+    for key in ('transformer_blocks.attn.img_q.kernel', 'img_in.kernel',
+                'txt_in.kernel'):
+        np.testing.assert_allclose(np.asarray(base_flat[key]),
+                                   np.asarray(t_flat[key]), rtol=1e-6,
+                                   err_msg=key)
+    # means head tiled from the teacher's proj_out
+    ad_flat = flatten(trainable['diffusion'])
+    kern = np.asarray(ad_flat['proj_out_means.kernel'])
+    d, out = np.asarray(t_flat['proj_out.kernel']).shape
+    np.testing.assert_allclose(kern.reshape(d, 4, out)[:, 2],
+                               np.asarray(t_flat['proj_out.kernel']),
+                               rtol=1e-6)

@@ -170,8 +170,28 @@ def test_build_hooks_passes_kwargs_and_warns(caplog):
         hooks = build_hooks(dict(
             interval=25,
             hooks=[dict(type='TextLoggerHook', by_epoch=False, bogus_key=1),
-                   dict(type='TensorboardLoggerHook')]))
+                   dict(type='TensorboardLoggerHook'),
+                   dict(type='WandbLoggerHook')]))
     assert hooks[0].interval == 25   # by_epoch accepted, bogus_key dropped
-    assert type(hooks[1]).__name__ == 'JsonLoggerHook'
+    assert type(hooks[1]).__name__ == 'TensorboardLoggerHook'  # real TB
+    assert type(hooks[2]).__name__ == 'JsonLoggerHook'         # wandb alias
     text = ' '.join(r.message for r in caplog.records)
-    assert 'bogus_key' in text and 'TensorboardLoggerHook' in text
+    assert 'bogus_key' in text and 'WandbLoggerHook' in text
+
+
+def test_tensorboard_hook_writes_events(tmp_path):
+    import logging
+    import os
+    from arcflow_tpu.runner.hooks import TensorboardLoggerHook
+
+    class Runner:
+        iter = 50
+        work_dir = str(tmp_path)
+        log_buffer = {'loss': 1.25, 'note': 'not-a-scalar'}
+        logger = logging.getLogger('test')
+
+    hook = TensorboardLoggerHook(interval=50)
+    hook.after_train_iter(Runner())
+    hook.after_run(Runner())
+    tf_dir = os.path.join(str(tmp_path), 'tf_logs')
+    assert os.path.isdir(tf_dir) and os.listdir(tf_dir)
