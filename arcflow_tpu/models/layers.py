@@ -213,8 +213,12 @@ _FLASH_MIN_SEQ = 1024   # below this XLA's fused attention wins on dispatch
 
 
 def _flash_ok(q: Array, mask) -> bool:
+    from ..parallel.mesh import sequence_parallel_active
     b, s, h, d = q.shape
+    # the Pallas kernel needs manual sharding; under tensor/sequence
+    # parallelism route through XLA's partitionable fused attention
     return (mask is None and jax.default_backend() == 'tpu'
+            and not sequence_parallel_active()
             and s >= _FLASH_MIN_SEQ and s % 512 == 0 and d % 128 == 0)
 
 

@@ -4,10 +4,12 @@ from .mesh import (make_mesh, fsdp_shard_params, fsdp_spec_for,
                    param_spec_for, shard_state, shard_batch, batch_sharding,
                    batch_axes, replicated, setup_distributed,
                    set_activation_sharding, clear_activation_sharding,
-                   activation_sharding, shard_activation)
+                   activation_sharding, shard_activation,
+                   sequence_parallel_active)
 
 __all__ = ['make_mesh', 'fsdp_shard_params', 'fsdp_spec_for',
            'param_spec_for', 'shard_state', 'shard_batch', 'batch_sharding',
            'batch_axes', 'replicated', 'setup_distributed',
            'set_activation_sharding', 'clear_activation_sharding',
-           'activation_sharding', 'shard_activation']
+           'activation_sharding', 'shard_activation',
+           'sequence_parallel_active']

@@ -189,16 +189,34 @@ def shard_state(state, mesh: Mesh, fsdp_axis: str = 'fsdp',
 # out projections with a psum) by itself.
 
 _ACT = {'mesh': None, 'batch_axes': ('data', 'fsdp'),
-        'tensor_axis': 'tensor'}
+        'tensor_axis': 'tensor', 'sp_axis': 'sp'}
 
 
 def set_activation_sharding(mesh: Optional[Mesh],
                             batch_axes: Sequence[str] = ('data', 'fsdp'),
-                            tensor_axis: str = 'tensor') -> None:
+                            tensor_axis: str = 'tensor',
+                            sp_axis: str = 'sp') -> None:
     """Enable activation constraints inside model code (trace-time global:
-    set it before the train/inference step is first traced)."""
+    set it before the train/inference step is first traced).
+
+    ``sp_axis`` adds Ulysses-style sequence parallelism (absent in the
+    reference; SURVEY §2.4 planned extension): token activations shard over
+    the sequence dim everywhere except inside attention, where they
+    re-shard to heads — GSPMD inserts the all-to-alls. This is the
+    multi-chip *single-image latency* axis (the v5p-8 north star)."""
     _ACT.update(mesh=mesh, batch_axes=tuple(batch_axes),
-                tensor_axis=tensor_axis)
+                tensor_axis=tensor_axis, sp_axis=sp_axis)
+
+
+def sequence_parallel_active() -> bool:
+    """True when the ambient mesh shards activations over tensor/sp — used
+    to route attention through XLA (partitionable) instead of the Pallas
+    kernel (which requires manual sharding)."""
+    mesh = _ACT['mesh']
+    if mesh is None:
+        return False
+    return (mesh.shape.get(_ACT['tensor_axis'], 1) > 1
+            or mesh.shape.get(_ACT['sp_axis'], 1) > 1)
 
 
 def clear_activation_sharding() -> None:
@@ -237,16 +255,23 @@ def shard_activation(x, kind: str):
         batch = None   # e.g. batch-1 init traces
     tp = _ACT['tensor_axis'] \
         if mesh.shape.get(_ACT['tensor_axis'], 1) > 1 else None
+    sp = _ACT['sp_axis'] \
+        if mesh.shape.get(_ACT['sp_axis'], 1) > 1 else None
+    if sp and x.shape[1] % mesh.shape[sp] != 0:
+        sp = None
     if kind == 'residual':
-        spec = P(batch)
+        spec = P(batch, sp)
     elif kind == 'heads':
+        # attention wants full sequence per head group: seq replicated,
+        # heads over tensor (the Ulysses all-to-all happens at this
+        # boundary when sp is active)
         if tp and x.shape[-2] % mesh.shape[tp] != 0:
             tp = None
         spec = P(batch, None, tp, None)
     elif kind == 'hidden':
         if tp and x.shape[-1] % mesh.shape[tp] != 0:
             tp = None
-        spec = P(batch, None, tp)
+        spec = P(batch, sp, tp)
     else:
         return x
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

@@ -152,17 +152,24 @@ def main():
     p.add_argument('--sharded', action='store_true',
                    help='shard the FULL 12B geometry over all devices '
                         '(fsdp mesh); use on multi-chip hosts')
+    p.add_argument('--mesh', type=str, default=None,
+                   help="explicit mesh, e.g. 'sp=4,tensor=2' for the "
+                        'single-image latency (sequence-parallel) config')
     args_cli = p.parse_args()
 
     setup_jax()
     log(f'devices: {jax.devices()}')
 
     mesh = None
-    if args_cli.sharded:
+    if args_cli.sharded or args_cli.mesh:
         from arcflow_tpu.parallel import make_mesh
-        n = jax.device_count()
-        mesh = make_mesh({'fsdp': n})
-        log(f'sharded bench over fsdp={n}')
+        if args_cli.mesh:
+            axes = {k: int(v) for k, v in
+                    (kv.split('=') for kv in args_cli.mesh.split(','))}
+        else:
+            axes = {'fsdp': jax.device_count()}
+        mesh = make_mesh(axes)
+        log(f'sharded bench over {dict(mesh.shape)}')
         configs = [(args_cli.layers or 19, args_cli.single or 38)]
     elif args_cli.layers is not None:
         configs = [(args_cli.layers, args_cli.single or args_cli.layers * 2)]

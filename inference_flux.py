@@ -30,11 +30,19 @@ def main():
     args = p.parse_args()
 
     setup_jax()
-    from arcflow_tpu.models import PretrainedFluxTextEncoder
+    import jax
+    from arcflow_tpu.models import (PretrainedFluxTextEncoder,
+                                    PretrainedVAEDecoder)
     from arcflow_tpu.pipelines import ArcFluxPipeline
 
+    vae = vae_params = None
+    if args.vae_dir:
+        vae = PretrainedVAEDecoder(latent_channels=16, dtype='bfloat16',
+                                   from_pretrained=args.vae_dir)
+        vae_params = vae.init_params(jax.random.PRNGKey(0))
     pipe = ArcFluxPipeline.from_pretrained(
         args.model_dir, text_encoder=PretrainedFluxTextEncoder(),
+        vae=vae, vae_params=vae_params,
         nfe=args.nfe, temperature=args.temperature,
         guidance_scale=args.guidance)
     if args.adapter:

@@ -10,6 +10,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument('--model-dir', required=True)
     p.add_argument('--adapter', default=None)
+    p.add_argument('--vae-dir', default=None,
+                   help='local Qwen-Image (Wan 3D-causal) VAE folder')
     p.add_argument('--prompt', default='a serene mountain lake at sunrise')
     p.add_argument('--height', type=int, default=1024)
     p.add_argument('--width', type=int, default=1024)
@@ -20,14 +22,22 @@ def main():
     args = p.parse_args()
 
     setup_jax()
-    from arcflow_tpu.models import PretrainedQwenImageTextEncoder
+    import jax
+    from arcflow_tpu.models import (PretrainedQwenImageTextEncoder,
+                                    PretrainedVAEQwenImage)
     from arcflow_tpu.pipelines import ArcQwenImagePipeline
 
+    vae = vae_params = None
+    if args.vae_dir:
+        vae = PretrainedVAEQwenImage(dtype='bfloat16',
+                                     from_pretrained=args.vae_dir)
+        vae_params = vae.init_params(jax.random.PRNGKey(0))
     pipe = ArcQwenImagePipeline.from_pretrained(
         args.model_dir, text_encoder=PretrainedQwenImageTextEncoder(),
+        vae=vae, vae_params=vae_params,
         nfe=args.nfe, temperature=args.temperature)
     if args.adapter:
-        pipe.load_arcflow_adapter(args.adapter, )
+        pipe.load_arcflow_adapter(args.adapter)
     out = pipe(prompt=[args.prompt], height=args.height, width=args.width,
                seed=args.seed, output_type='pil')
     out['images'][0].save(args.out)

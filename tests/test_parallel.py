@@ -127,3 +127,45 @@ def test_tensor_parallel_forward_matches_unsharded():
         np.testing.assert_allclose(np.asarray(got[key]),
                                    np.asarray(ref[key]), rtol=2e-3,
                                    atol=2e-4, err_msg=key)
+
+
+def test_sequence_parallel_forward_matches_unsharded():
+    """Ulysses-style SP: token activations shard over 'sp' between blocks,
+    re-shard to heads inside attention; outputs match the unsharded run."""
+    from arcflow_tpu.models import ArcFluxTransformer2DModel
+    from arcflow_tpu.parallel import (activation_sharding, make_mesh,
+                                      param_spec_for, shard_batch,
+                                      shard_activation)
+    from jax.sharding import NamedSharding
+
+    net = dict(in_channels=16, num_layers=2, num_single_layers=2,
+               attention_head_dim=16, num_attention_heads=4,
+               joint_attention_dim=32, pooled_projection_dim=16,
+               axes_dims_rope=(4, 6, 6), guidance_embeds=False,
+               checkpointing=False)
+    model = ArcFluxTransformer2DModel(patch_size=2, num_gaussians=4, **net)
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    inputs = dict(
+        hidden_states=jax.random.normal(ks[0], (2, 8, 8, 4)),
+        t=jnp.full((2,), 0.7),
+        encoder_hidden_states=jax.random.normal(ks[1], (2, 8, 32)),
+        pooled_projections=jax.random.normal(ks[2], (2, 16)))
+    params = model.init(ks[3], **inputs)['params']
+    ref = model.apply({'params': params}, **inputs)
+
+    mesh = make_mesh({'data': 2, 'sp': 2, 'tensor': 2})
+    sharded_params = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, param_spec_for(
+            x, None, 1, 'tensor', 2, min_size=256))), params)
+    sh_inputs = shard_batch(inputs, mesh)
+    with activation_sharding(mesh):
+        # the residual constraint puts tokens on the sp axis
+        tok = jax.jit(lambda x: shard_activation(x, 'residual') * 1.0)(
+            jnp.zeros((2, 16, 32)))
+        assert tok.sharding.spec[1] == 'sp', tok.sharding
+        fn = jax.jit(lambda p, kw: model.apply({'params': p}, **kw))
+        got = fn(sharded_params, sh_inputs)
+    for key in ('means', 'logweights', 'loggammas'):
+        np.testing.assert_allclose(np.asarray(got[key]),
+                                   np.asarray(ref[key]), rtol=2e-3,
+                                   atol=2e-4, err_msg=key)
