@@ -185,7 +185,10 @@ _ARC_HEAD_MAP = {
 
 
 def load_safetensors_state(path: str) -> Dict[str, np.ndarray]:
-    """Load a .safetensors file, a sharded index.json, or a directory."""
+    """Load a .safetensors file, a sharded index.json, or a directory —
+    local or remote (``huggingface://org/repo/path`` resolves through the
+    hub cache incl. sharded indexes, the reference's HF checkpoint scheme,
+    runner/checkpoint.py:241-278)."""
     from safetensors import safe_open
 
     def load_one(p):
@@ -194,6 +197,23 @@ def load_safetensors_state(path: str) -> Dict[str, np.ndarray]:
             for k in f.keys():
                 out[k] = f.get_tensor(k)
         return out
+
+    from ..utils.io_utils import get_file_backend, uri_scheme
+    if uri_scheme(path) != 'local':
+        backend = get_file_backend(path)
+        if not hasattr(backend, 'local_path'):
+            raise ValueError(f'backend for {path} cannot resolve local files')
+        local = backend.local_path(path)
+        if path.endswith('.index.json'):
+            with open(local) as f:
+                index = json.load(f)
+            base = path.rsplit('/', 1)[0]
+            state = {}
+            for shard in sorted(set(index['weight_map'].values())):
+                state.update(load_one(
+                    backend.local_path(f'{base}/{shard}')))
+            return state
+        return load_one(local)
 
     if os.path.isdir(path):
         idx = [f for f in os.listdir(path) if f.endswith('.index.json')]

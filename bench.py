@@ -34,7 +34,7 @@ def log(*a):
 
 
 def build(num_layers, num_single_layers, latent=128, txt=512, k=16,
-          mesh=None):
+          mesh=None, batch=1):
     from arcflow_tpu.models import ArcFluxTransformer2DModel
     from arcflow_tpu.diffusion import (ArcFlowPolicy, ContinuousTimeStepSampler,
                                        momentum_integration)
@@ -46,7 +46,7 @@ def build(num_layers, num_single_layers, latent=128, txt=512, k=16,
         guidance_embeds=True, checkpointing=False, dtype=jnp.bfloat16)
     sampler = ContinuousTimeStepSampler(num_timesteps=1, shift=3.2)
 
-    b = 1
+    b = batch
     ks = jax.random.split(jax.random.PRNGKey(0), 4)
     inputs = dict(
         hidden_states=jax.random.normal(ks[0], (b, latent, latent, 16),
@@ -122,8 +122,8 @@ def bench_vae_decode(latent=128, iters=4):
     return (time.perf_counter() - t0) / iters
 
 
-def try_bench(layers, single_layers, iters=8, mesh=None):
-    fn, args, model = build(layers, single_layers, mesh=mesh)
+def try_bench(layers, single_layers, iters=8, mesh=None, batch=1):
+    fn, args, model = build(layers, single_layers, mesh=mesh, batch=batch)
     n_params = sum(x.size for x in jax.tree.leaves(args[0]))
     log(f'config: {layers} joint + {single_layers} single blocks, '
         f'{n_params / 1e9:.2f}B params')
@@ -139,7 +139,7 @@ def try_bench(layers, single_layers, iters=8, mesh=None):
     for _ in range(iters):
         out = fn(params, out, txt, pooled, g)
     _ = float(jnp.sum(out.astype(jnp.float32)))
-    per_image = (time.perf_counter() - t0) / iters
+    per_image = (time.perf_counter() - t0) / iters / batch
     return per_image, n_params
 
 
@@ -152,6 +152,7 @@ def main():
     p.add_argument('--sharded', action='store_true',
                    help='shard the FULL 12B geometry over all devices '
                         '(fsdp mesh); use on multi-chip hosts')
+    p.add_argument('--batch', type=int, default=1)
     p.add_argument('--mesh', type=str, default=None,
                    help="explicit mesh, e.g. 'sp=4,tensor=2' for the "
                         'single-image latency (sequence-parallel) config')
@@ -180,7 +181,8 @@ def main():
 
     for layers, single in configs:
         try:
-            per_img, n_params = try_bench(layers, single, mesh=mesh)
+            per_img, n_params = try_bench(layers, single, mesh=mesh,
+                                          batch=args_cli.batch)
             break
         except Exception as e:  # noqa: BLE001 - OOM fallback
             log(f'config ({layers},{single}) failed: {type(e).__name__}: '
