@@ -84,9 +84,23 @@ def make_mesh(axes: Dict[str, int], devices: Optional[Sequence] = None,
         total = int(np.prod(ici_shape)) * int(np.prod(dcn_shape))
         assert total == n_devices, \
             f'ici {ici_shape} x dcn {dcn_shape} != {n_devices} devices'
-        dev_array = mesh_utils.create_hybrid_device_mesh(
-            ici_shape, dcn_shape,
-            devices=list(devices) if devices is not None else None)
+        dev_list = list(devices) if devices is not None else None
+        try:
+            dev_array = mesh_utils.create_hybrid_device_mesh(
+                ici_shape, dcn_shape, devices=dev_list)
+        except ValueError:
+            try:    # multi-process CPU/GPU: processes are the granules
+                dev_array = mesh_utils.create_hybrid_device_mesh(
+                    ici_shape, dcn_shape, devices=dev_list,
+                    process_is_granule=True)
+            except ValueError:
+                # simulator fallback (single process, no slice attribute):
+                # plain reshape with the dcn axes outermost — topology-
+                # equivalent on simulated devices
+                combined = [d * i for d, i in zip(dcn_shape, ici_shape)]
+                dev_array = np.asarray(
+                    dev_list if dev_list is not None else jax.devices()
+                ).reshape(combined)
         # hybrid mesh shape = dcn_shape * ici_shape elementwise
         return Mesh(dev_array, names)
     assert int(np.prod(sizes)) == n_devices, \

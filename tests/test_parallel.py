@@ -169,3 +169,11 @@ def test_sequence_parallel_forward_matches_unsharded():
         np.testing.assert_allclose(np.asarray(got[key]),
                                    np.asarray(ref[key]), rtol=2e-3,
                                    atol=2e-4, err_msg=key)
+
+
+def test_hybrid_mesh_dcn_axes_fallback():
+    """dcn_axes produces a (dcn x ici) mesh; on simulated devices the
+    topology-aware builder falls back to a plain reshape."""
+    from arcflow_tpu.parallel import make_mesh
+    m = make_mesh({'data': 1, 'fsdp': -1}, dcn_axes={'data': 2})
+    assert dict(m.shape) == {'data': 2, 'fsdp': 4}
