@@ -68,11 +68,20 @@ def load_raw_checkpoint(directory: str, step: Optional[int] = None) -> dict:
     mgr = ocp.CheckpointManager(
         directory, options=ocp.CheckpointManagerOptions(read_only=True))
     step = step if step is not None else mgr.latest_step()
+    mgr.close()
     if step is None:
         raise FileNotFoundError(f'no checkpoint under {directory}')
-    restored = mgr.restore(step)
-    mgr.close()
-    return restored
+    # Restore as host numpy arrays: the checkpoint's recorded device
+    # topology (e.g. a CPU-mesh training run) need not exist in this
+    # process (e.g. a TPU export job).
+    path = os.path.join(directory, str(step), 'default')
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path).item_metadata
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray),
+        getattr(meta, 'tree', meta))
+    return ckptr.restore(
+        path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
 
 
 class CheckpointManager:

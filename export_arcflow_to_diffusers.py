@@ -34,6 +34,10 @@ def main():
 
     den_cfg = dict(cfg.model.diffusion.denoising)
     arc_class = den_cfg.pop('type')
+    # the exported folder is self-contained: drop training-time load paths
+    # (the reference disables lora/pretrained on export, export script :74-80)
+    den_cfg.pop('pretrained', None)
+    den_cfg.pop('pretrained_adapter', None)
     test_cfg = dict(cfg.get('test_cfg', {}) or {})
     policy_config = dict(
         policy_type=cfg.model.diffusion.get('policy_type', 'ArcFlow'),
