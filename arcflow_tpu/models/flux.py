@@ -169,7 +169,7 @@ def _scan_blocks(block_cls, n_layers: int, name: str, remat: bool,
         cls = nn.remat(cls, prevent_cse=False)
     return nn.scan(
         cls,
-        variable_axes={'params': 0},
+        variable_axes={'params': 0, 'quant': 0},
         split_rngs={'params': True},
         in_axes=(nn.broadcast, 0) if scan_cn else nn.broadcast,
         length=n_layers,

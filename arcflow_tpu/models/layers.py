@@ -64,6 +64,13 @@ class LoRADense(nn.Module):
         in_features = x.shape[-1]
         kernel = self.param('kernel', self.kernel_init,
                             (in_features, self.features), self.param_dtype)
+        if kernel.dtype == jnp.int8:
+            # weight-only int8 (utils/quantize.py): per-output-channel scales
+            # ride in the 'quant' collection; the int8->bf16 convert fuses
+            # into the dot's operand read, so HBM weight traffic halves and
+            # the full 12B geometry fits one 16GB chip
+            scale = self.get_variable('quant', 'kernel_scale')
+            kernel = kernel.astype(self.dtype) * scale.astype(self.dtype)
         y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param('bias', self.bias_init,

@@ -34,7 +34,7 @@ def log(*a):
 
 
 def build(num_layers, num_single_layers, latent=128, txt=512, k=16,
-          mesh=None, batch=1):
+          mesh=None, batch=1, int8=False):
     from arcflow_tpu.models import ArcFluxTransformer2DModel
     from arcflow_tpu.diffusion import (ArcFlowPolicy, ContinuousTimeStepSampler,
                                        momentum_integration)
@@ -62,6 +62,49 @@ def build(num_layers, num_single_layers, latent=128, txt=512, k=16,
         # loads the base model in torch_dtype=bfloat16); fusing the cast into
         # init keeps peak HBM at one fp32 param, not the whole fp32 tree
         return jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
+
+    if int8:
+        # weight-only int8: init on the host CPU (the fp32/bf16 12B tree
+        # does not fit chip HBM), quantize per-output-channel, ship the
+        # int8 kernels + scales to the device (11.6 GB -> fits one v5e)
+        from arcflow_tpu.utils.quantize import quantize_weights_int8
+        cpu = jax.devices('cpu')[0]
+        log('initializing on host CPU for int8 quantization...')
+        t0 = time.perf_counter()
+        with jax.default_device(cpu):
+            host_inputs = {kk: jnp.zeros(v.shape, v.dtype)
+                           for kk, v in inputs.items()}
+            p = model.init(jax.random.PRNGKey(0), t=jnp.ones((b,)),
+                           **host_inputs)['params']
+            p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
+            qp, quant = quantize_weights_int8(p)
+            del p
+        log(f'host init+quantize: {time.perf_counter() - t0:.0f}s')
+        dev = jax.devices()[0]
+        variables = jax.device_put({'params': qp, 'quant': quant}, dev)
+        jax.block_until_ready(variables)
+
+        def sample_2nfe_q(variables, noise, txt_emb, pooled, guidance):
+            x = noise
+            raw = jnp.array([1.0, 0.5, 0.0])
+            for i in range(2):
+                raw_src = jnp.full((b,), raw[i])
+                sigma_src = sampler.warp_t(raw_src)
+                out = model.apply(variables, x, sigma_src,
+                                  encoder_hidden_states=txt_emb,
+                                  pooled_projections=pooled,
+                                  guidance=guidance)
+                policy = ArcFlowPolicy.create(out, x, sigma_src)
+                sigma_dst = sampler.warp_t(jnp.full((b,), raw[i + 1]))
+                x = momentum_integration(policy, x, sigma_src,
+                                         sigma_dst).astype(jnp.bfloat16)
+            return x
+
+        fn = jax.jit(sample_2nfe_q, donate_argnums=(1,))
+        args = (variables, inputs['hidden_states'],
+                inputs['encoder_hidden_states'],
+                inputs['pooled_projections'], inputs['guidance'])
+        return fn, args, model
 
     if mesh is not None:
         # sharded inference: params over fsdp(+tensor), activations pinned
@@ -122,9 +165,12 @@ def bench_vae_decode(latent=128, iters=4):
     return (time.perf_counter() - t0) / iters
 
 
-def try_bench(layers, single_layers, iters=8, mesh=None, batch=1):
-    fn, args, model = build(layers, single_layers, mesh=mesh, batch=batch)
-    n_params = sum(x.size for x in jax.tree.leaves(args[0]))
+def try_bench(layers, single_layers, iters=8, mesh=None, batch=1,
+              int8=False):
+    fn, args, model = build(layers, single_layers, mesh=mesh, batch=batch,
+                            int8=int8)
+    n_params = sum(x.size for x in jax.tree.leaves(args[0])
+                   if hasattr(x, 'size'))
     log(f'config: {layers} joint + {single_layers} single blocks, '
         f'{n_params / 1e9:.2f}B params')
     params, noise, txt, pooled, g = args
@@ -153,6 +199,9 @@ def main():
                    help='shard the FULL 12B geometry over all devices '
                         '(fsdp mesh); use on multi-chip hosts')
     p.add_argument('--batch', type=int, default=1)
+    p.add_argument('--int8', action='store_true',
+                   help='weight-only int8 (the full 12B geometry fits one '
+                        'chip; implies --layers 19 --single 38 by default)')
     p.add_argument('--mesh', type=str, default=None,
                    help="explicit mesh, e.g. 'sp=4,tensor=2' for the "
                         'single-image latency (sequence-parallel) config')
@@ -172,6 +221,8 @@ def main():
         mesh = make_mesh(axes)
         log(f'sharded bench over {dict(mesh.shape)}')
         configs = [(args_cli.layers or 19, args_cli.single or 38)]
+    elif args_cli.int8:
+        configs = [(args_cli.layers or 19, args_cli.single or 38)]
     elif args_cli.layers is not None:
         configs = [(args_cli.layers, args_cli.single or args_cli.layers * 2)]
     else:
@@ -182,7 +233,8 @@ def main():
     for layers, single in configs:
         try:
             per_img, n_params = try_bench(layers, single, mesh=mesh,
-                                          batch=args_cli.batch)
+                                          batch=args_cli.batch,
+                                          int8=args_cli.int8)
             break
         except Exception as e:  # noqa: BLE001 - OOM fallback
             log(f'config ({layers},{single}) failed: {type(e).__name__}: '

@@ -1,0 +1,60 @@
+"""Weight-only int8 inference (beyond-reference capability)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arcflow_tpu.utils.pytree import flatten
+from arcflow_tpu.utils.quantize import (dequantize_weights,
+                                        quantize_weights_int8)
+
+
+def _tiny_flux():
+    from arcflow_tpu.models import FluxTransformer2DModel
+    tiny = dict(in_channels=16, num_layers=2, num_single_layers=3,
+                attention_head_dim=32, num_attention_heads=4,
+                joint_attention_dim=64, pooled_projection_dim=32,
+                axes_dims_rope=(8, 12, 12), guidance_embeds=True,
+                checkpointing=False)
+    model = FluxTransformer2DModel(patch_size=2, **tiny)
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    inputs = dict(hidden_states=jax.random.normal(ks[0], (2, 8, 8, 4)),
+                  t=jnp.full((2,), 0.6),
+                  encoder_hidden_states=jax.random.normal(ks[1], (2, 6, 64)),
+                  pooled_projections=jax.random.normal(ks[2], (2, 32)),
+                  guidance=jnp.full((2,), 2.0))
+    params = model.init(ks[3], **inputs)['params']
+    return model, params, inputs
+
+
+def test_quantize_roundtrip_error_bounded():
+    _, params, _ = _tiny_flux()
+    qparams, quant = quantize_weights_int8(params, min_size=1024)
+    deq = flatten(dequantize_weights(qparams, quant))
+    orig = flatten(params)
+    n_q = 0
+    for k, v in flatten(qparams).items():
+        if hasattr(v, 'dtype') and v.dtype == jnp.int8:
+            n_q += 1
+            w = np.asarray(orig[k], np.float32)
+            err = np.abs(np.asarray(deq[k]) - w)
+            # symmetric per-channel int8: error <= scale/2 = absmax/254
+            bound = np.abs(w).max(axis=-2, keepdims=True) / 254 + 1e-6
+            assert (err <= bound * 1.01).all(), k
+    assert n_q > 10, 'expected the trunk kernels to quantize'
+    # adapter-surface/small leaves untouched
+    assert flatten(qparams)['norm_out.modulation.kernel'].dtype != jnp.int8
+
+
+def test_int8_forward_close_to_bf16():
+    model, params, inputs = _tiny_flux()
+    ref = np.asarray(model.apply({'params': params}, **inputs), np.float32)
+    qparams, quant = quantize_weights_int8(params, min_size=1024)
+    got = np.asarray(model.apply({'params': qparams, 'quant': quant},
+                                 **inputs), np.float32)
+    # weight-only int8 keeps outputs close (bf16 compute both sides)
+    denom = np.abs(ref).mean() + 1e-6
+    rel = np.abs(got - ref).mean() / denom
+    assert rel < 0.15, rel
+    cos = (got * ref).sum() / (np.linalg.norm(got) * np.linalg.norm(ref))
+    assert cos > 0.99, cos
