@@ -112,7 +112,13 @@ class GaussianFlow:
             t = jnp.broadcast_to(t, (x_t.shape[0],))
         if self.flip_model_timesteps:
             t = self.num_timesteps - t
-        return self.denoising.apply({'params': params}, x_t, t, **kwargs)
+        # `params` is either a bare param tree or a full flax variables dict
+        # carrying extra collections (e.g. the 'quant' int8 scales from
+        # utils/quantize.py); our model param trees never have a top-level
+        # 'params' module, so the dispatch is unambiguous
+        variables = params if isinstance(params, dict) and 'params' in params \
+            else {'params': params}
+        return self.denoising.apply(variables, x_t, t, **kwargs)
 
     # ---- training ----------------------------------------------------------
     def loss(self, denoising_output, x_0: Array, noise: Array, t: Array,

@@ -65,13 +65,32 @@ class LoRADense(nn.Module):
         kernel = self.param('kernel', self.kernel_init,
                             (in_features, self.features), self.param_dtype)
         if kernel.dtype == jnp.int8:
-            # weight-only int8 (utils/quantize.py): per-output-channel scales
-            # ride in the 'quant' collection; the int8->bf16 convert fuses
-            # into the dot's operand read, so HBM weight traffic halves and
-            # the full 12B geometry fits one 16GB chip
+            from ..utils.quantize import act_quant_active
+            # int8 kernels (utils/quantize.py): per-output-channel scales
+            # ride in the 'quant' collection (sliced per layer under nn.scan)
             scale = self.get_variable('quant', 'kernel_scale')
-            kernel = kernel.astype(self.dtype) * scale.astype(self.dtype)
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+            if act_quant_active():
+                # w8a8: dynamic per-token symmetric int8 activations; the
+                # int8 x int8 -> int32 dot runs on the MXU int8 path
+                # (~1.7x the bf16 ceiling on v5e); output rescaled by
+                # (per-token act scale) x (per-channel weight scale)
+                x32 = x.astype(jnp.float32)
+                xs = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1,
+                                         keepdims=True), 1e-8) / 127.0
+                xq = jnp.clip(jnp.round(x32 / xs), -127, 127).astype(jnp.int8)
+                y = jax.lax.dot_general(
+                    xq, kernel, (((xq.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                y = y.astype(jnp.float32) * (xs * scale.astype(jnp.float32))
+                y = y.astype(self.dtype)
+            else:
+                # weight-only: the int8->bf16 convert fuses into the dot's
+                # operand read — HBM weight traffic halves (the full 12B
+                # geometry fits one 16GB chip), compute stays bf16
+                kernel = kernel.astype(self.dtype) * scale.astype(self.dtype)
+                y = jnp.dot(x.astype(self.dtype), kernel)
+        else:
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param('bias', self.bias_init,
                               (self.features,), self.param_dtype)
@@ -87,6 +106,18 @@ class LoRADense(nn.Module):
             y = y + (jnp.dot(jnp.dot(x.astype(self.dtype), a.astype(self.dtype)),
                              b.astype(self.dtype)) * scale)
         return y
+
+
+# NOTE (measured, do not re-try blindly): fusing q/k/v into one
+# (D, 3D) matmul — with the three param leaves kept checkpoint-compatible
+# and concatenated at trace time — was benchmarked end-to-end on the full
+# 12B geometry and is SLOWER than three separate dots in every mode
+# (bf16-compute/weight-only int8: 1047 -> 1209 ms per image; w8a8:
+# 889 -> 986 ms). XLA already pipelines the independent dots, the runtime
+# concat adds HBM traffic, and the int8->bf16 dequant stops fusing into
+# the dot's operand read once a concat sits in between. Isolated
+# single-dot microbenchmarks suggest otherwise (dispatch-bound); trust
+# the e2e number.
 
 
 class RMSNorm(nn.Module):
@@ -222,6 +253,12 @@ _FLASH_MIN_SEQ = 1024   # below this XLA's fused attention wins on dispatch
 def _flash_ok(q: Array, mask) -> bool:
     from ..parallel.mesh import sequence_parallel_active
     b, s, h, d = q.shape
+    # a `jax.default_device(cpu)` context (host-side init / weight quantize
+    # on a TPU-backed process) lowers for CPU even though the default
+    # *backend* is still 'tpu' — Pallas can't execute there
+    dd = jax.config.jax_default_device
+    if dd is not None and getattr(dd, 'platform', 'tpu') != 'tpu':
+        return False
     # the Pallas kernel needs manual sharding; under tensor/sequence
     # parallelism route through XLA's partitionable fused attention
     return (mask is None and jax.default_backend() == 'tpu'

@@ -118,6 +118,24 @@ class ArcFluxPipeline:
             self.diffusion.test_cfg = tc
         return policy_config
 
+    def quantize_int8(self, act_quant: bool = False,
+                      min_size: int = 2 ** 16) -> None:
+        """int8-quantize the transformer for serving (beyond-reference).
+
+        Weight-only int8 halves transformer HBM (the FLUX-12B geometry fits
+        one 16 GB chip); ``act_quant=True`` additionally quantizes
+        activations per token so the big matmuls run on the MXU int8 path
+        (~1.7x the bf16 ceiling on v5e). The ArcFlow adapter surface (heads,
+        LoRA, norm_out) stays high-precision — call AFTER
+        ``load_arcflow_adapter``.
+        """
+        from ..utils.quantize import quantize_weights_int8, set_act_quant
+        assert 'params' not in self.transformer_params, 'already quantized'
+        qp, quant = quantize_weights_int8(self.transformer_params,
+                                          min_size=min_size)
+        self.transformer_params = {'params': qp, 'quant': quant}
+        set_act_quant(act_quant)   # trace-time global; set before jit traces
+
     # ---- inference ------------------------------------------------------------
     def encode_prompt(self, prompt: Sequence[str]) -> Dict[str, Array]:
         assert self.text_encoder is not None, \

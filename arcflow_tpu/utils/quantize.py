@@ -28,6 +28,27 @@ _SKIP_SUBSTRINGS = ('proj_out_means', 'proj_out_logweights',
                     'proj_out_loggamma', 'lora_a', 'lora_b')
 _SKIP_PREFIXES = ('norm_out.',)
 
+# trace-time global (same pattern as parallel.set_activation_sharding):
+# when enabled, LoRADense layers whose kernels are int8 also quantize their
+# activations per token and run the matmul as int8 x int8 -> int32 on the
+# MXU's int8 path (measured ~1.7x the bf16 matmul ceiling on v5e)
+_ACT_QUANT = False
+
+
+def set_act_quant(enabled: bool) -> None:
+    """Enable/disable dynamic w8a8 compute for int8-quantized layers.
+
+    Must be set before the inference program is traced. Weight-only int8
+    (the default) only saves HBM; w8a8 additionally runs the big matmuls
+    at the int8 MXU rate at the cost of per-token activation rounding.
+    """
+    global _ACT_QUANT
+    _ACT_QUANT = bool(enabled)
+
+
+def act_quant_active() -> bool:
+    return _ACT_QUANT
+
 
 def quantize_weights_int8(params: Dict, min_size: int = 2 ** 16
                           ) -> Tuple[Dict, Dict]:

@@ -26,6 +26,12 @@ def main():
     p.add_argument('--temperature', type=float, default=1.0)
     p.add_argument('--guidance', type=float, default=3.5)
     p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--int8', action='store_true',
+                   help='weight-only int8 transformer (12B fits one 16GB '
+                        'chip); adapter surface stays high-precision')
+    p.add_argument('--w8a8', action='store_true',
+                   help='int8 weights + dynamic int8 activations (MXU int8 '
+                        'rate); implies --int8')
     p.add_argument('--out', default='output.png')
     args = p.parse_args()
 
@@ -47,6 +53,8 @@ def main():
         guidance_scale=args.guidance)
     if args.adapter:
         pipe.load_arcflow_adapter(args.adapter)
+    if args.int8 or args.w8a8:
+        pipe.quantize_int8(act_quant=args.w8a8)
     out = pipe(prompt=[args.prompt], height=args.height, width=args.width,
                seed=args.seed, output_type='pil')
     out['images'][0].save(args.out)

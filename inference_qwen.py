@@ -18,6 +18,11 @@ def main():
     p.add_argument('--nfe', type=int, default=2)
     p.add_argument('--temperature', type=float, default=1.0)
     p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--int8', action='store_true',
+                   help='weight-only int8 transformer (the 20B geometry '
+                        'needs it on small-HBM chips)')
+    p.add_argument('--w8a8', action='store_true',
+                   help='int8 weights + dynamic int8 activations')
     p.add_argument('--out', default='output.png')
     args = p.parse_args()
 
@@ -38,6 +43,8 @@ def main():
         nfe=args.nfe, temperature=args.temperature)
     if args.adapter:
         pipe.load_arcflow_adapter(args.adapter)
+    if args.int8 or args.w8a8:
+        pipe.quantize_int8(act_quant=args.w8a8)
     out = pipe(prompt=[args.prompt], height=args.height, width=args.width,
                seed=args.seed, output_type='pil')
     out['images'][0].save(args.out)

@@ -283,3 +283,41 @@ def test_pipeline_end_to_end_latents():
     out3 = pipe(prompt_embeds=embeds, height=64, width=64,
                 num_inference_steps=3, seed=1)
     assert np.isfinite(np.asarray(out3['latents'])).all()
+
+
+def test_pipeline_int8_quantized_sampling():
+    """pipe.quantize_int8(): the 'quant' collection flows through
+    forward_test; w8-only output stays close to bf16, w8a8 stays finite."""
+    student = ArcFluxTransformer2DModel(num_gaussians=4, patch_size=2, **TINY)
+    inputs = dict(hidden_states=jnp.zeros((1, 8, 8, 4)), t=jnp.zeros((1,)),
+                  encoder_hidden_states=jnp.zeros((1, 6, 64)),
+                  pooled_projections=jnp.zeros((1, 32)),
+                  guidance=jnp.zeros((1,)))
+    params = student.init(jax.random.PRNGKey(3), **inputs)['params']
+    embeds = dict(
+        encoder_hidden_states=jax.random.normal(jax.random.PRNGKey(4),
+                                                (1, 6, 64)),
+        pooled_projections=jax.random.normal(jax.random.PRNGKey(5), (1, 32)))
+
+    pipe = ArcFluxPipeline(student, params, nfe=2, guidance_scale=3.5)
+    ref = np.asarray(pipe(prompt_embeds=embeds, height=64, width=64,
+                          seed=1)['latents'])
+
+    pipe_q = ArcFluxPipeline(student, params, nfe=2, guidance_scale=3.5)
+    pipe_q.quantize_int8(min_size=1024)
+    got = np.asarray(pipe_q(prompt_embeds=embeds, height=64, width=64,
+                            seed=1)['latents'])
+    assert np.isfinite(got).all()
+    cos = (got * ref).sum() / (np.linalg.norm(got) * np.linalg.norm(ref)
+                               + 1e-9)
+    assert cos > 0.99, cos
+
+    from arcflow_tpu.utils.quantize import set_act_quant
+    pipe_a = ArcFluxPipeline(student, params, nfe=2, guidance_scale=3.5)
+    pipe_a.quantize_int8(act_quant=True, min_size=1024)
+    try:
+        got_a = np.asarray(pipe_a(prompt_embeds=embeds, height=64, width=64,
+                                  seed=1)['latents'])
+    finally:
+        set_act_quant(False)
+    assert np.isfinite(got_a).all()

@@ -58,3 +58,21 @@ def test_int8_forward_close_to_bf16():
     assert rel < 0.15, rel
     cos = (got * ref).sum() / (np.linalg.norm(got) * np.linalg.norm(ref))
     assert cos > 0.99, cos
+
+
+def test_w8a8_forward_close_to_bf16():
+    """Dynamic per-token activation quant (the MXU-int8 serving mode) stays
+    directionally faithful to the bf16 forward."""
+    from arcflow_tpu.utils.quantize import set_act_quant
+    model, params, inputs = _tiny_flux()
+    ref = np.asarray(model.apply({'params': params}, **inputs), np.float32)
+    qparams, quant = quantize_weights_int8(params, min_size=1024)
+    set_act_quant(True)
+    try:
+        got = np.asarray(model.apply({'params': qparams, 'quant': quant},
+                                     **inputs), np.float32)
+    finally:
+        set_act_quant(False)
+    assert np.isfinite(got).all()
+    cos = (got * ref).sum() / (np.linalg.norm(got) * np.linalg.norm(ref))
+    assert cos > 0.97, cos
