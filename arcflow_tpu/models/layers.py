@@ -266,35 +266,65 @@ def _flash_ok(q: Array, mask) -> bool:
             and s >= _FLASH_MIN_SEQ and s % 512 == 0 and d % 128 == 0)
 
 
+def _flash_call(q: Array, k: Array, v: Array) -> Array:
+    """Tuned Pallas flash attention on (B, S, H, D); TPU only, no mask."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import \
+        BlockSizes, flash_attention
+    s, d = q.shape[1], q.shape[-1]
+    scale = 1.0 / (d ** 0.5)
+    # explicit block sizes matter: the kernel's defaults leave ~5x on the
+    # table at FLUX shapes (measured 15ms -> 3.0ms at S=4608 on v5e)
+    bq = min(512, s)
+    bk_major = next(b for b in (1536, 1024, 512, s) if s % b == 0)
+    bk = min(512, bk_major)
+    block_sizes = BlockSizes(
+        block_q=bq, block_k_major=bk_major, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk_major, block_k_dkv=bk,
+        block_q_dkv=bq, block_k_major_dq=bk_major, block_k_dq=bk,
+        block_q_dq=bq)
+    # (B, S, H, D) -> (B, H, S, D)
+    qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+    out = flash_attention(qt, kt, vt, causal=False, sm_scale=scale,
+                          block_sizes=block_sizes)
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
+
 def attention(q: Array, k: Array, v: Array,
               mask: Optional[Array] = None) -> Array:
     """Scaled dot-product attention on (B, S, H, D) tensors.
 
     Long unmasked sequences (the 4608-token FLUX joint attention) route
     through the Pallas TPU flash-attention kernel (tiled online-softmax, no
-    S x S materialization); everything else uses jax.nn.dot_product_attention
-    (XLA-fused). Softmax accumulates in fp32 on both paths.
+    S x S materialization). Under sequence/tensor parallelism the kernel is
+    not GSPMD-partitionable, so it runs per head-shard inside a
+    ``shard_map`` over the ambient mesh (each device holds the full
+    sequence for its head slice — the Ulysses layout that
+    ``shard_activation('heads')`` already pins, so no extra resharding).
+    Everything else uses jax.nn.dot_product_attention (XLA-fused). Softmax
+    accumulates in fp32 on all paths.
     """
     if _flash_ok(q, mask):
-        from jax.experimental.pallas.ops.tpu.flash_attention import \
-            BlockSizes, flash_attention
-        s, d = q.shape[1], q.shape[-1]
-        scale = 1.0 / (d ** 0.5)
-        # explicit block sizes matter: the kernel's defaults leave ~5x on the
-        # table at FLUX shapes (measured 15ms -> 3.0ms at S=4608 on v5e)
-        bq = min(512, s)
-        bk_major = next(b for b in (1536, 1024, 512, s) if s % b == 0)
-        bk = min(512, bk_major)
-        block_sizes = BlockSizes(
-            block_q=bq, block_k_major=bk_major, block_k=bk, block_b=1,
-            block_q_major_dkv=bq, block_k_major_dkv=bk_major, block_k_dkv=bk,
-            block_q_dkv=bq, block_k_major_dq=bk_major, block_k_dq=bk,
-            block_q_dq=bq)
-        # (B, S, H, D) -> (B, H, S, D)
-        qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
-        out = flash_attention(qt, kt, vt, causal=False, sm_scale=scale,
-                              block_sizes=block_sizes)
-        return out.transpose(0, 2, 1, 3).astype(q.dtype)
+        return _flash_call(q, k, v)
+    if mask is None:
+        from ..parallel.mesh import heads_partition
+        part = heads_partition(q.shape)
+        if part is not None:
+            from jax import shard_map
+            mesh, spec = part
+            s, d = q.shape[1], q.shape[-1]
+            use_flash = (jax.default_backend() == 'tpu'
+                         and s >= _FLASH_MIN_SEQ and s % 512 == 0
+                         and d % 128 == 0)
+
+            def body(ql, kl, vl):
+                if use_flash:
+                    return _flash_call(ql, kl, vl)
+                # CPU-simulated meshes (tests) exercise the same specs and
+                # collectives with the XLA kernel inside the shard
+                return jax.nn.dot_product_attention(ql, kl, vl)
+
+            return shard_map(body, mesh=mesh, in_specs=(spec,) * 3,
+                             out_specs=spec, check_vma=False)(q, k, v)
     return jax.nn.dot_product_attention(q, k, v, mask=mask)
 
 

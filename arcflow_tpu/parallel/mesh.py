@@ -233,6 +233,34 @@ def sequence_parallel_active() -> bool:
             or mesh.shape.get(_ACT['sp_axis'], 1) > 1)
 
 
+def heads_partition(q_shape) -> Optional[Tuple[Mesh, P]]:
+    """(mesh, PartitionSpec) for ``shard_map``-ing attention on a
+    (B, S, H, D) tensor when the ambient mesh shards activations over
+    sp/tensor; ``None`` when inapplicable (no mesh, no sp/tensor axes, or
+    heads not divisible by the head-shard size).
+
+    This is how the Pallas flash kernel (which cannot be GSPMD-partitioned)
+    runs under sequence/tensor parallelism: each device gets the full
+    sequence for its head slice — exactly the Ulysses layout that
+    ``shard_activation(x, 'heads')`` pins.
+    """
+    mesh = _ACT['mesh']
+    if mesh is None:
+        return None
+    head_axes = tuple(a for a in (_ACT['sp_axis'], _ACT['tensor_axis'])
+                      if mesh.shape.get(a, 1) > 1)
+    if not head_axes:
+        return None
+    if q_shape[2] % int(np.prod([mesh.shape[a] for a in head_axes])) != 0:
+        return None
+    batch = tuple(a for a in _ACT['batch_axes']
+                  if mesh.shape.get(a, 1) > 1) or None
+    if batch and q_shape[0] % int(np.prod([mesh.shape[a]
+                                           for a in batch])) != 0:
+        batch = None
+    return mesh, P(batch, None, head_axes, None)
+
+
 def clear_activation_sharding() -> None:
     _ACT['mesh'] = None
 
@@ -277,11 +305,16 @@ def shard_activation(x, kind: str):
         spec = P(batch, sp)
     elif kind == 'heads':
         # attention wants full sequence per head group: seq replicated,
-        # heads over tensor (the Ulysses all-to-all happens at this
-        # boundary when sp is active)
-        if tp and x.shape[-2] % mesh.shape[tp] != 0:
-            tp = None
-        spec = P(batch, None, tp, None)
+        # heads over BOTH the sp and tensor axes (the Ulysses all-to-all
+        # happens at this boundary — tokens gather, heads scatter; without
+        # sp in the head spec every sp device would recompute all heads)
+        head_axes = tuple(a for a in (sp, tp) if a)
+        if head_axes and x.shape[-2] % int(
+                np.prod([mesh.shape[a] for a in head_axes])) != 0:
+            head_axes = tuple(a for a in (tp,) if a)   # tensor-only fallback
+            if head_axes and x.shape[-2] % mesh.shape[tp] != 0:
+                head_axes = ()
+        spec = P(batch, None, head_axes or None, None)
     elif kind == 'hidden':
         if tp and x.shape[-1] % mesh.shape[tp] != 0:
             tp = None
