@@ -177,3 +177,28 @@ def test_hybrid_mesh_dcn_axes_fallback():
     from arcflow_tpu.parallel import make_mesh
     m = make_mesh({'data': 1, 'fsdp': -1}, dcn_axes={'data': 2})
     assert dict(m.shape) == {'data': 2, 'fsdp': 4}
+
+
+def test_heads_partition_guards():
+    """heads_partition: returns the Ulysses spec only when the mesh shards
+    sp/tensor AND heads divide the combined shard size."""
+    from arcflow_tpu.parallel import activation_sharding, make_mesh
+    from arcflow_tpu.parallel.mesh import heads_partition
+
+    assert heads_partition((2, 24, 4, 16)) is None   # no mesh active
+
+    mesh = make_mesh({'data': 2, 'sp': 2, 'tensor': 2})
+    with activation_sharding(mesh):
+        got = heads_partition((2, 24, 4, 16))
+        assert got is not None
+        _, spec = got
+        assert spec == P('data', None, ('sp', 'tensor'), None)
+        # heads (3) not divisible by sp*tensor (4) -> no shard_map
+        assert heads_partition((2, 24, 3, 16)) is None
+        # batch 1 (init trace): batch axis dropped, heads still sharded
+        _, spec1 = heads_partition((1, 24, 4, 16))
+        assert spec1 == P(None, None, ('sp', 'tensor'), None)
+
+    mesh2 = make_mesh({'data': 4, 'fsdp': 2})
+    with activation_sharding(mesh2):
+        assert heads_partition((2, 24, 4, 16)) is None   # no sp/tensor

@@ -76,3 +76,39 @@ def test_w8a8_forward_close_to_bf16():
     assert np.isfinite(got).all()
     cos = (got * ref).sum() / (np.linalg.norm(got) * np.linalg.norm(ref))
     assert cos > 0.97, cos
+
+
+def test_quantize_preserves_adapter_surface_and_samples():
+    """Pipeline order: adapter weights (LoRA + heads) stay high-precision
+    through quantize_int8 and the quantized student still samples."""
+    from arcflow_tpu.models import ArcFluxTransformer2DModel
+    from arcflow_tpu.pipelines import ArcFluxPipeline
+
+    tiny = dict(in_channels=16, num_layers=2, num_single_layers=3,
+                attention_head_dim=32, num_attention_heads=4,
+                joint_attention_dim=64, pooled_projection_dim=32,
+                axes_dims_rope=(8, 12, 12), guidance_embeds=True,
+                checkpointing=False, lora_rank=4)
+    student = ArcFluxTransformer2DModel(num_gaussians=4, patch_size=2, **tiny)
+    inputs = dict(hidden_states=jnp.zeros((1, 8, 8, 4)), t=jnp.zeros((1,)),
+                  encoder_hidden_states=jnp.zeros((1, 6, 64)),
+                  pooled_projections=jnp.zeros((1, 32)),
+                  guidance=jnp.zeros((1,)))
+    params = student.init(jax.random.PRNGKey(0), **inputs)['params']
+
+    pipe = ArcFluxPipeline(student, params, nfe=2, guidance_scale=3.5)
+    pipe.quantize_int8(min_size=1024)
+    qflat = flatten(pipe.transformer_params['params'])
+    loras = {k: v for k, v in qflat.items() if 'lora_' in k}
+    heads = {k: v for k, v in qflat.items() if 'proj_out_means' in k}
+    assert loras and heads
+    assert all(v.dtype == jnp.float32 for v in loras.values())
+    assert all(v.dtype != jnp.int8 for v in heads.values())
+    assert any(v.dtype == jnp.int8 for v in qflat.values())
+
+    embeds = dict(
+        encoder_hidden_states=jax.random.normal(jax.random.PRNGKey(4),
+                                                (1, 6, 64)),
+        pooled_projections=jax.random.normal(jax.random.PRNGKey(5), (1, 32)))
+    out = pipe(prompt_embeds=embeds, height=64, width=64, seed=0)
+    assert np.isfinite(np.asarray(out['latents'])).all()
