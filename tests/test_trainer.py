@@ -163,19 +163,36 @@ def test_runner_tracks_iteration_on_host():
         f'device step read {CountingStep.reads} times (expected once)'
 
 
-def test_build_hooks_passes_kwargs_and_warns(caplog):
+def test_build_hooks_passes_kwargs_and_warns():
+    # capture with our own handler: build_logger sets propagate=False on
+    # the 'arcflow_tpu' logger, so caplog misses records when any earlier
+    # test has configured it (order-dependent otherwise)
     import logging
     from arcflow_tpu.runner.runner import build_hooks
-    with caplog.at_level(logging.WARNING, logger='arcflow_tpu'):
+    records = []
+
+    class Grab(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    logger = logging.getLogger('arcflow_tpu')
+    grab = Grab(level=logging.WARNING)
+    logger.addHandler(grab)
+    old_level = logger.level
+    logger.setLevel(logging.WARNING)
+    try:
         hooks = build_hooks(dict(
             interval=25,
             hooks=[dict(type='TextLoggerHook', by_epoch=False, bogus_key=1),
                    dict(type='TensorboardLoggerHook'),
                    dict(type='WandbLoggerHook')]))
+    finally:
+        logger.removeHandler(grab)
+        logger.setLevel(old_level)
     assert hooks[0].interval == 25   # by_epoch accepted, bogus_key dropped
     assert type(hooks[1]).__name__ == 'TensorboardLoggerHook'  # real TB
     assert type(hooks[2]).__name__ == 'JsonLoggerHook'         # wandb alias
-    text = ' '.join(r.message for r in caplog.records)
+    text = ' '.join(records)
     assert 'bogus_key' in text and 'WandbLoggerHook' in text
 
 
