@@ -159,7 +159,8 @@ def train_model(cfg: Config, work_dir: Optional[str] = None,
 
     total = max_iters or cfg.get('total_iters', 10000)
     runner = IterBasedRunner(model, state, train_step, loader, total,
-                             work_dir=work_dir, hooks=hooks, logger=logger)
+                             work_dir=work_dir, hooks=hooks, logger=logger,
+                             gc_interval=cfg.get('gc_interval'))
     state = runner.run()
     manager.close()
     return state, model

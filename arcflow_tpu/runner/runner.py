@@ -3,10 +3,9 @@
 Equivalent capability to the reference ``DynamicIterBasedRunnerMod``
 (``lakonlab/runner/dynamic_iter_based_runner.py:43-219``): iter-based loop,
 hook dispatch, checkpoint/resume with optimizer state and sampler
-fast-forward, ``running_status`` (iteration) piped into the loss. The GC
-pinning and async-save thread of the reference are unnecessary here — the
-jitted step allocates nothing on the Python heap per-iter, and Orbax owns the
-async write.
+fast-forward, ``running_status`` (iteration) piped into the loss, manual GC
+pacing (``gc_interval``). The reference's async-save thread is unnecessary
+here — Orbax owns the async write.
 """
 
 from __future__ import annotations
@@ -28,7 +27,8 @@ class IterBasedRunner:
                  total_iters: int,
                  work_dir: str = 'work_dirs/default',
                  hooks: Sequence[Hook] = (),
-                 logger=None):
+                 logger=None,
+                 gc_interval: Optional[int] = None):
         self.model = model
         self.state = state
         self.train_step_fn = train_step_fn
@@ -42,6 +42,13 @@ class IterBasedRunner:
         # (int(state.step)) forces a device round-trip that kills async
         # dispatch overlap; the device step is consulted once, at resume.
         self._iter = int(state.step)
+        # Manual GC pacing (reference dynamic_iter_based_runner.py:85-100):
+        # the jitted step itself allocates nothing on the Python heap, but
+        # the host data pipeline (zstd decode, numpy staging, prefetch
+        # threads) does — an unscheduled GC pause mid-loop stalls dispatch.
+        # With gc_interval set, automatic GC is disabled for the loop and a
+        # full collection runs every N iters instead.
+        self.gc_interval = gc_interval
 
     @property
     def iter(self) -> int:
@@ -52,9 +59,14 @@ class IterBasedRunner:
             getattr(h, fn_name)(self)
 
     def run(self):
+        import gc
         self.call_hook('before_run')
         self.logger.info(
             f'starting at iter {self._iter}, target {self.total_iters}')
+        gc_was_enabled = gc.isenabled()
+        if self.gc_interval:
+            gc.collect()
+            gc.disable()
         try:
             while self._iter < self.total_iters:
                 batch = next(self.data_iter)
@@ -66,7 +78,11 @@ class IterBasedRunner:
                 self._iter += 1
                 self.log_buffer = dict(logs)
                 self.call_hook('after_train_iter')
+                if self.gc_interval and self._iter % self.gc_interval == 0:
+                    gc.collect()
         finally:
+            if self.gc_interval and gc_was_enabled:
+                gc.enable()
             self.call_hook('after_run')
         return self.state
 

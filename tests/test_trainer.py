@@ -212,3 +212,33 @@ def test_tensorboard_hook_writes_events(tmp_path):
     hook.after_run(Runner())
     tf_dir = os.path.join(str(tmp_path), 'tf_logs')
     assert os.path.isdir(tf_dir) and os.listdir(tf_dir)
+
+
+def test_runner_gc_interval_paces_collections():
+    """gc_interval: automatic GC disabled inside the loop, manual collect
+    every N iters, re-enabled after (reference
+    dynamic_iter_based_runner.py:85-100)."""
+    import gc
+    import itertools
+    import logging
+    from arcflow_tpu.runner.runner import IterBasedRunner
+
+    seen = []
+
+    class StubState:
+        step = 0
+
+    def step_fn(s, b):
+        seen.append(gc.isenabled())
+        return s, {'loss': 0.0}
+
+    assert gc.isenabled()
+    runner = IterBasedRunner(
+        model=None, state=StubState(),
+        train_step_fn=step_fn,
+        data_iter=itertools.repeat({'x': np.zeros((1,))}),
+        total_iters=6, work_dir='/tmp/runner_gc', hooks=[],
+        logger=logging.getLogger('test'), gc_interval=2)
+    runner.run()
+    assert not any(seen), 'GC must be disabled inside the loop'
+    assert gc.isenabled(), 'GC must be re-enabled after the loop'
