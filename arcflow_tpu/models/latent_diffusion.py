@@ -47,6 +47,7 @@ class LatentDiffusionTextImage(BaseModel):
                  latent_shape: Tuple[int, int, int] = (64, 64, 16),
                  text_embed_dim: int = 4096, pooled_dim: int = 768,
                  max_text_len: int = 512,
+                 frozen_dtype: Optional[str] = None,
                  train_cfg=None, test_cfg=None):
         super().__init__(train_cfg, test_cfg)
         # `pretrained=` on the denoising cfg loads real (converted diffusers)
@@ -91,6 +92,11 @@ class LatentDiffusionTextImage(BaseModel):
         self.text_embed_dim = text_embed_dim
         self.pooled_dim = pooled_dim
         self.max_text_len = max_text_len
+        # storage dtype for the frozen trunk (the reference's FSDP
+        # MixedPrecision keeps frozen params bf16, flex_freeze casts only
+        # trainable modules fp32 — _fsdp_train.py:36-37 + utils.py:22-81);
+        # None keeps init/load precision (fp32)
+        self.frozen_dtype = frozen_dtype
 
     @property
     def ema_keys(self):
@@ -207,6 +213,11 @@ class LatentDiffusionTextImage(BaseModel):
                 frozen['teacher_head'] = head
             else:
                 frozen['teacher_full'] = teacher_full
+        if self.frozen_dtype is not None:
+            dt = jnp.dtype(self.frozen_dtype)
+            frozen = jax.tree.map(
+                lambda x: x.astype(dt)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, frozen)
         return {'diffusion': adapter}, frozen
 
     def student_params(self, trainable, frozen):

@@ -23,6 +23,7 @@ geometry over a device mesh (fsdp/tensor/sp axes) on multi-chip hosts.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -183,6 +184,85 @@ def bench_vae_decode(latent=128, iters=4):
     return (time.perf_counter() - t0) / iters
 
 
+def bench_train(layers, single_layers, latent=64, txt=512, batch=1, iters=6):
+    """One full 2-NFE distillation optimizer step on one chip: per NFE step
+    a student forward + 4 CFG'd frozen-teacher queries per segment, summed
+    loss, one backward, per-submodule clip with NaN skip, in-step karras EMA
+    — all a single donated-state XLA program (runner/train_step.py).
+    512px latents (64x64x16). Returns (sec/step, n_params)."""
+    import optax
+    from arcflow_tpu.models import LatentDiffusionTextImage
+    from arcflow_tpu.runner import EmaConfig, TrainState, build_train_step
+
+    net = dict(in_channels=64, num_layers=layers,
+               num_single_layers=single_layers, attention_head_dim=128,
+               num_attention_heads=24, joint_attention_dim=4096,
+               pooled_projection_dim=768, guidance_embeds=True,
+               checkpointing=True)
+    model = LatentDiffusionTextImage(
+        diffusion=dict(
+            type='ArcFlowImitationDataFree', policy_type='ArcFlow',
+            denoising=dict(type='ArcFluxTransformer2DModel', patch_size=2,
+                           num_gaussians=16, lora_rank=256, **net),
+            flow_loss=dict(type='DiffusionMSELoss',
+                           data_info=dict(pred='u_t_pred', target='u_t'),
+                           rescale_cfg=dict(scale=30.0)),
+            num_timesteps=1,
+            timestep_sampler=dict(type='ContinuousTimeStepSampler',
+                                  shift=3.2)),
+        teacher=dict(type='GaussianFlow',
+                     denoising=dict(type='FluxTransformer2DModel',
+                                    patch_size=2, **net),
+                     num_timesteps=1),
+        tie_teacher=True,
+        # bf16 frozen trunk = the reference's FSDP MixedPrecision layout
+        frozen_dtype='bfloat16',
+        latent_shape=(latent, latent, 16), text_embed_dim=4096,
+        pooled_dim=768,
+        train_cfg=dict(nfe=2, timestep_ratio=1.0, total_substeps=128,
+                       num_intermediate_states=4, window_substeps=3,
+                       gm_dropout=0.1, num_decay_iters=100,
+                       distilled_guidance_scale=3.5,
+                       teacher_distilled_guidance_scale=3.5,
+                       teacher_guidance_scale=2.0,
+                       diffusion_grad_clip=50.0),
+        test_cfg=dict(nfe=2, timestep_ratio=1.0))
+
+    trainable, frozen = model.init_params(jax.random.PRNGKey(0))
+    n_params = sum(x.size for x in jax.tree.leaves((trainable, frozen)))
+    n_train = sum(x.size for x in jax.tree.leaves(trainable))
+    log(f'train config: {layers}j+{single_layers}s, {n_params / 1e9:.2f}B '
+        f'params ({n_train / 1e6:.0f}M trainable)')
+    optimizers = {'diffusion': optax.adamw(1e-4)}
+    state = TrainState.create(jax.random.PRNGKey(1), trainable, frozen,
+                              optimizers, ema_keys=model.ema_keys)
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    batch_data = dict(
+        latents=jax.random.normal(ks[0], (batch, latent, latent, 16)),
+        prompt_embed_kwargs=dict(
+            encoder_hidden_states=jax.random.normal(ks[1],
+                                                    (batch, txt, 4096)),
+            pooled_projections=jax.random.normal(ks[2], (batch, 768))),
+        negative_prompt_embed_kwargs=dict(
+            encoder_hidden_states=jnp.zeros((batch, txt, 4096)),
+            pooled_projections=jnp.zeros((batch, 768))))
+
+    train_step = build_train_step(
+        model, optimizers, train_cfg=model.train_cfg,
+        ema_cfg=EmaConfig(momentum_policy='karras'), donate=True)
+    t0 = time.perf_counter()
+    state, logs = train_step(state, batch_data)
+    loss0 = float(logs['loss'])
+    log(f'train compile+first step: {time.perf_counter() - t0:.1f}s '
+        f'(loss {loss0:.3f})')
+    assert jnp.isfinite(loss0)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, logs = train_step(state, batch_data)
+    _ = float(logs['loss'])   # host readback syncs the chain
+    return (time.perf_counter() - t0) / iters, n_params
+
+
 def try_bench(layers, single_layers, iters=8, mesh=None, batch=1,
               int8=False, w8a8=False):
     fn, args, model = build(layers, single_layers, mesh=mesh, batch=batch,
@@ -231,10 +311,52 @@ def main():
     p.add_argument('--mesh', type=str, default=None,
                    help="explicit mesh, e.g. 'sp=4,tensor=2' for the "
                         'single-image latency (sequence-parallel) config')
+    p.add_argument('--train', action='store_true',
+                   help='benchmark the full distillation optimizer step '
+                        '(10 DiT forwards + backward, clip, EMA) instead '
+                        'of inference; largest full-width geometry that '
+                        'fits one chip at 512px latents')
     args_cli = p.parse_args()
 
     setup_jax()
     log(f'devices: {jax.devices()}')
+
+    if args_cli.train:
+        if args_cli.layers is None:
+            # ladder in SUBPROCESSES: after an OOM the (tunneled) TPU does
+            # not reclaim the failed attempt's buffers promptly in-process —
+            # a config that fits on a clean chip then OOMs too. One process
+            # per attempt guarantees a clean device state.
+            import subprocess
+            for layers, single in [(4, 8), (3, 6), (2, 4), (1, 2)]:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), '--train',
+                     '--layers', str(layers), '--single', str(single),
+                     '--batch', str(args_cli.batch)],
+                    capture_output=True, text=True)
+                sys.stderr.write(r.stderr)
+                line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() \
+                    else ''
+                if r.returncode == 0 and line.startswith('{') and \
+                        json.loads(line)['value'] > 0:
+                    print(line)
+                    return
+                log(f'train config ({layers},{single}) subprocess failed')
+            print(json.dumps(dict(metric='train steps/sec', value=0.0,
+                                  unit='steps/s', vs_baseline=0.0)))
+            return
+        layers = args_cli.layers
+        single = args_cli.single or layers * 2
+        sec, n_params = bench_train(layers, single, batch=args_cli.batch)
+        log(f'train step: {sec * 1000:.1f} ms')
+        print(json.dumps(dict(
+            metric=f'distillation optimizer steps/sec, 512px 2-NFE '
+                   f'(ArcFlux {layers}j+{single}s {n_params / 1e9:.2f}B '
+                   f'tied teacher+student, 10 DiT fwd + 1 bwd per step, '
+                   f'measured on one chip)',
+            value=round(1.0 / sec, 4), unit='steps/s/chip',
+            vs_baseline=0.0)))
+        return
 
     mesh = None
     use_int8 = (args_cli.int8 or args_cli.w8a8) or not (

@@ -130,3 +130,30 @@ def test_val_step_2nfe(model_and_params):
     latents = np.asarray(out['pred_latents'])
     assert latents.shape == (2, 8, 8, 4)
     assert np.isfinite(latents).all()
+
+
+def test_frozen_dtype_bf16_trunk_trains():
+    """frozen_dtype='bfloat16' stores the shared trunk in bf16 (the
+    reference's FSDP MixedPrecision layout) while the adapter stays fp32;
+    the distillation loss remains finite and differentiable."""
+    import copy
+    model = make_model()
+    model.frozen_dtype = 'bfloat16'
+    trainable, frozen = model.init_params(jax.random.PRNGKey(0))
+    f_leaves = [v for v in jax.tree.leaves(frozen)
+                if jnp.issubdtype(v.dtype, jnp.floating)]
+    assert f_leaves and all(v.dtype == jnp.bfloat16 for v in f_leaves)
+    t_leaves = jax.tree.leaves(trainable)
+    assert all(v.dtype == jnp.float32 for v in t_leaves)
+
+    batch = make_batch()
+    rs = dict(iteration=0)
+    loss, _ = model.loss(trainable, frozen, jax.random.PRNGKey(1), batch,
+                         running_status=rs)
+    assert np.isfinite(float(loss))
+    grads = jax.grad(lambda tr: model.loss(
+        tr, frozen, jax.random.PRNGKey(1), batch,
+        running_status=rs)[0])(trainable)
+    gnorm = float(jnp.sqrt(sum(jnp.sum(jnp.square(g))
+                               for g in jax.tree.leaves(grads))))
+    assert np.isfinite(gnorm) and gnorm > 0
