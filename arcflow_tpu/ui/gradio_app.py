@@ -25,7 +25,7 @@ def create_interface_text_to_img(pipeline, default_prompt: str = '',
                            'the UI layer is available when it is') from e
     import numpy as np
 
-    def generate(prompt, negative, height, width, nfe, temperature,
+    def generate(prompt, height, width, nfe, temperature,
                  guidance, seed, batch):
         out = pipeline(prompt=[prompt] * int(batch),
                        height=int(height), width=int(width),
@@ -47,8 +47,6 @@ def create_interface_text_to_img(pipeline, default_prompt: str = '',
             with gr.Column():
                 prompt = gr.Textbox(label='Prompt', value=default_prompt,
                                     lines=3)
-                negative = gr.Textbox(label='Negative prompt', value='',
-                                      lines=1)
                 with gr.Row():
                     height = gr.Number(label='Height', value=default_height)
                     width = gr.Number(label='Width', value=default_width)
@@ -68,7 +66,9 @@ def create_interface_text_to_img(pipeline, default_prompt: str = '',
             gallery = gr.Gallery(label='Results', columns=2)
         swap.click(swap_hw, [height, width], [height, width])
         rand.click(randomize_seed, [], [seed])
+        # no negative-prompt box: the 2-NFE student is guidance-distilled
+        # (guidance_scale conditions the distilled vector; no CFG pass)
         run.click(generate,
-                  [prompt, negative, height, width, nfe, temperature,
+                  [prompt, height, width, nfe, temperature,
                    guidance, seed, batch], [gallery])
     return demo

@@ -242,3 +242,28 @@ def test_runner_gc_interval_paces_collections():
     runner.run()
     assert not any(seen), 'GC must be disabled inside the loop'
     assert gc.isenabled(), 'GC must be re-enabled after the loop'
+
+
+def test_profiler_hook_writes_trace(tmp_path):
+    """ProfilerHook opens a jax.profiler trace window and writes events."""
+    import itertools
+    import logging
+    import os
+    from arcflow_tpu.runner.hooks import ProfilerHook
+    from arcflow_tpu.runner.runner import IterBasedRunner
+
+    class StubState:
+        step = 0
+
+    out = str(tmp_path / 'prof')
+    runner = IterBasedRunner(
+        model=None, state=StubState(),
+        train_step_fn=lambda s, b: (s, {'loss': float(jnp.sum(
+            jnp.ones((8, 8)) @ jnp.ones((8, 8))))}),
+        data_iter=itertools.repeat({'x': np.zeros((1,))}),
+        total_iters=8, work_dir=str(tmp_path), hooks=[
+            ProfilerHook(start_iter=2, num_iters=3, out_dir=out)],
+        logger=logging.getLogger('test'))
+    runner.run()
+    found = [os.path.join(r, f) for r, _, fs in os.walk(out) for f in fs]
+    assert found, 'profiler trace produced no files'
