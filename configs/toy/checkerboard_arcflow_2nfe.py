@@ -7,6 +7,7 @@ _teacher_denoising = dict(
     type='ToyMLPDenoiser',
     out_channels=2,
     hidden=(256, 256, 256),
+    fourier_freqs=6,
     num_timesteps=1000)
 
 model = dict(
@@ -24,6 +25,7 @@ model = dict(
             out_channels=2,
             num_gaussians=8,
             hidden=(256, 256, 256),
+            fourier_freqs=6,
             num_timesteps=1000),
         flow_loss=dict(
             type='DiffusionMSELoss',

@@ -13,6 +13,7 @@ model = dict(
             type='ToyMLPDenoiser',
             out_channels=2,
             hidden=(256, 256, 256),
+            fourier_freqs=6,
             num_timesteps=1000),
         flow_loss=dict(
             type='DiffusionMSELoss',
