@@ -132,6 +132,7 @@ def train_model(cfg: Config, work_dir: Optional[str] = None,
         loader = build_dataloader(dataset, global_bs, seed=seed,
                                   start_iter=int(state.step),
                                   num_replicas=n_proc, rank=proc_id)
+    raw_loader = loader
     if mesh is not None:
         from ..parallel import shard_batch
         base_loader = loader
@@ -161,6 +162,12 @@ def train_model(cfg: Config, work_dir: Optional[str] = None,
     runner = IterBasedRunner(model, state, train_step, loader, total,
                              work_dir=work_dir, hooks=hooks, logger=logger,
                              gc_interval=cfg.get('gc_interval'))
-    state = runner.run()
-    manager.close()
+    try:
+        state = runner.run()
+    finally:
+        # stop the prefetch worker (otherwise it lives on, pinning the data
+        # iterator and its staged batches after training ends)
+        if hasattr(raw_loader, 'close'):
+            raw_loader.close()
+        manager.close()
     return state, model

@@ -20,21 +20,44 @@ class Prefetcher:
         self._it = it
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._done = object()
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def _worker(self):
         try:
             for item in self._it:
-                self._q.put(item)
+                # bounded put so close() can interrupt a producer blocked on
+                # a full queue (otherwise the thread lives forever holding
+                # the iterator and its staged batches)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
         except Exception as e:   # surface errors on the consumer side
             self._q.put(e)
         self._q.put(self._done)
+
+    def close(self, join_timeout: float = 2.0) -> None:
+        """Stop the worker and release staged batches. Idempotent."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=join_timeout)
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._stop.is_set():
+            raise StopIteration
         item = self._q.get()
         if item is self._done:
             raise StopIteration

@@ -22,3 +22,19 @@ import jax  # noqa: E402
 # tests really run on the simulated 8-device CPU host.
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_default_matmul_precision', 'highest')
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope='module')
+def _clear_jax_caches_between_modules():
+    """Drop compiled-executable caches after every test module.
+
+    The suite compiles hundreds of XLA:CPU programs; letting them all
+    accumulate in one process ends in a segfault inside a late LLVM compile
+    (reproducibly in test_qwen's init when run after ~150 prior tests,
+    fine in any smaller combination). Clearing between modules bounds the
+    JIT state; per-module cache reuse is what matters for speed anyway.
+    """
+    yield
+    jax.clear_caches()
