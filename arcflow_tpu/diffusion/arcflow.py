@@ -256,13 +256,15 @@ class ArcFlowImitation(ArcFlowImitationBase):
 
         teacher_ratio, log_vars = self._teacher_ratio(running_status)
 
+        rng, rng_drop = self._maybe_dropout_rng(rng)
         rng_t, rng_noise, rng_seg = jax.random.split(rng, 3)
         raw_t_src, sigma_t_src, t_src, segment_size = self.sample_t(
             rng_t, num_batches, seq_len=seq_len)
         noise = jax.random.normal(rng_noise, x_0.shape, jnp.float32)
         x_t_src, _, _ = self.sample_forward_diffusion(x_0, t_src, noise)
 
-        denoising_output = self.pred(params, x_t_src, t_src, **kwargs)
+        denoising_output = self.pred(params, x_t_src, t_src,
+                                     dropout_rng=rng_drop, **kwargs)
         policy = self.make_policy(denoising_output, x_t_src, sigma_t_src)
 
         loss, log_info, _, _ = self.piid_segment_momentum(
@@ -333,7 +335,9 @@ class ArcFlowImitationDataFree(ArcFlowImitation):
         sigma_t_src = self.timestep_sampler.warp_t(raw_t_src, seq_len=seq_len)
         t_src = sigma_t_src * self.num_timesteps
 
-        denoising_output = self.pred(params, x_t_src, t_src, **kwargs)
+        rng, rng_drop = self._maybe_dropout_rng(rng)
+        denoising_output = self.pred(params, x_t_src, t_src,
+                                     dropout_rng=rng_drop, **kwargs)
         policy = self.make_policy(denoising_output, x_t_src, sigma_t_src)
 
         step_loss, log_info, x_t_dst, raw_t_dst = self.piid_segment_momentum(

@@ -105,8 +105,13 @@ class GaussianFlow:
         return trans['mean'] + noise * jnp.sqrt(jnp.maximum(trans['var'], 0.0))
 
     # ---- denoiser invocation ----------------------------------------------
-    def pred(self, params, x_t: Array, t: Array, **kwargs):
-        """One denoiser forward. ``t`` is model-time in [0, num_timesteps]."""
+    def pred(self, params, x_t: Array, t: Array, dropout_rng=None, **kwargs):
+        """One denoiser forward. ``t`` is model-time in [0, num_timesteps].
+
+        ``dropout_rng`` (train-time only) activates any dropout in the
+        denoiser — LoRA-branch dropout in LoRADense (reference peft
+        ``lora_dropout``); without it every forward is deterministic.
+        """
         t = jnp.asarray(t, jnp.float32)
         if t.ndim == 0:
             t = jnp.broadcast_to(t, (x_t.shape[0],))
@@ -118,7 +123,8 @@ class GaussianFlow:
         # 'params' module, so the dispatch is unambiguous
         variables = params if isinstance(params, dict) and 'params' in params \
             else {'params': params}
-        return self.denoising.apply(variables, x_t, t, **kwargs)
+        rngs = {'dropout': dropout_rng} if dropout_rng is not None else None
+        return self.denoising.apply(variables, x_t, t, rngs=rngs, **kwargs)
 
     # ---- training ----------------------------------------------------------
     def loss(self, denoising_output, x_0: Array, noise: Array, t: Array,
@@ -135,15 +141,26 @@ class GaussianFlow:
             weight=pred_mask.astype(jnp.float32) if pred_mask is not None else None)
         return self.flow_loss(loss_kwargs)
 
+    def _maybe_dropout_rng(self, rng: Array):
+        """(rng', dropout_rng or None): split off a LoRA-dropout key only when
+        the denoiser configures ``lora_dropout`` — keeps the training RNG
+        stream byte-identical for dropout-free models."""
+        if getattr(self.denoising, 'lora_dropout', 0.0) > 0.0:
+            rng, rng_drop = jax.random.split(rng)
+            return rng, rng_drop
+        return rng, None
+
     def forward_train(self, params, rng: Array, x_0: Array, **kwargs
                       ) -> Tuple[Array, Dict[str, Any]]:
         num_batches = x_0.shape[0]
         seq_len = int(np.prod(x_0.shape[1:-1])) if x_0.ndim > 2 else None
+        rng, rng_drop = self._maybe_dropout_rng(rng)
         rng_t, rng_noise = jax.random.split(rng)
         t = self.timestep_sampler(rng_t, num_batches, seq_len=seq_len)
         noise = jax.random.normal(rng_noise, x_0.shape, jnp.float32)
         x_t, _, _ = self.sample_forward_diffusion(x_0, t, noise)
-        denoising_output = self.pred(params, x_t, t, **kwargs)
+        denoising_output = self.pred(params, x_t, t, dropout_rng=rng_drop,
+                                     **kwargs)
         loss, log_info = self.loss(denoising_output, x_0, noise, t)
         log_vars = dict(loss_diffusion=loss, **log_info)
         return loss, log_vars

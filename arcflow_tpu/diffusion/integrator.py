@@ -38,7 +38,7 @@ def _safe_expm1_over_x(x: Array, eps: float) -> Array:
 
 def momentum_integration(policy: ArcFlowPolicy, x_t_start: Array,
                          sigma_t_start: Array, sigma_t_end: Array,
-                         eps: float = 1e-4) -> Array:
+                         eps: float = 1e-4, return_mid: bool = False):
     """Analytically advance x from sigma_t_start to sigma_t_end.
 
     Per component k the displacement over the step is
@@ -51,9 +51,17 @@ def momentum_integration(policy: ArcFlowPolicy, x_t_start: Array,
         x_t_start: (B, *data) current position (may differ from policy.x_t_src
             during rollouts).
         sigma_t_start / sigma_t_end: (B,) noise levels, start >= end.
+        return_mid: also return the step's midpoint state. Mirrors the
+            reference pipelines' ``return_mid`` variant
+            (arcqwen_pipeline.py:230-235), which — deliberately kept
+            bit-compatible here — reuses the FULL-step ``expm1(x)/x`` factor
+            at half the step (i.e. x_mid = x_start - displacement/2, a
+            half-displacement approximation, not the exact half-step
+            integral).
 
     Returns:
-        x_t_end with the same shape/dtype as ``x_t_start`` (float32 math).
+        x_t_end with the same shape/dtype as ``x_t_start`` (float32 math);
+        with ``return_mid``, the tuple (x_t_end, x_t_mid).
     """
     ndim = x_t_start.ndim
     sigma_t_start = jnp.asarray(sigma_t_start, jnp.float32).reshape(x_t_start.shape[0])
@@ -72,7 +80,12 @@ def momentum_integration(policy: ArcFlowPolicy, x_t_start: Array,
 
     displacement_k = v_at_start * dt_step_k * step_factor
     displacement = (policy.weights() * displacement_k).sum(axis=1)
-    return (jnp.asarray(x_t_start, jnp.float32) - displacement).astype(x_t_start.dtype)
+    x32 = jnp.asarray(x_t_start, jnp.float32)
+    x_t_end = (x32 - displacement).astype(x_t_start.dtype)
+    if return_mid:
+        x_t_mid = (x32 - 0.5 * displacement).astype(x_t_start.dtype)
+        return x_t_end, x_t_mid
+    return x_t_end
 
 
 def policy_average_u(policy: ArcFlowPolicy, x_t_start: Array,

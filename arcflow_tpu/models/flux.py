@@ -49,13 +49,16 @@ ARCFLUX_ADAPTER_KEYS = ('proj_out_means', 'proj_out_logweights',
 class MLPEmbedder(nn.Module):
     dim: int
     lora_rank: int = 0
+    lora_dropout: float = 0.0
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        h = LoRADense(self.dim, lora_rank=self.lora_rank, dtype=self.dtype,
+        h = LoRADense(self.dim, lora_rank=self.lora_rank,
+            lora_dropout=self.lora_dropout, dtype=self.dtype,
                       name='linear1')(x)
-        return LoRADense(self.dim, lora_rank=self.lora_rank, dtype=self.dtype,
+        return LoRADense(self.dim, lora_rank=self.lora_rank,
+            lora_dropout=self.lora_dropout, dtype=self.dtype,
                          name='linear2')(nn.silu(h))
 
 
@@ -65,6 +68,7 @@ class TimeTextEmbed(nn.Module):
     dim: int
     guidance_embeds: bool = False
     lora_rank: int = 0
+    lora_dropout: float = 0.0
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -72,6 +76,7 @@ class TimeTextEmbed(nn.Module):
                  guidance: Optional[Array] = None) -> Array:
         t_feat = timestep_sinusoidal(t, 256).astype(self.dtype)
         temb = MLPEmbedder(self.dim, lora_rank=self.lora_rank,
+            lora_dropout=self.lora_dropout,
                            dtype=self.dtype, name='timestep_embedder')(t_feat)
         if self.guidance_embeds:
             assert guidance is not None, 'guidance_embeds=True needs guidance'
@@ -90,6 +95,7 @@ class FluxJointBlock(nn.Module):
     num_heads: int
     head_dim: int
     lora_rank: int = 0
+    lora_dropout: float = 0.0
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -111,10 +117,12 @@ class FluxJointBlock(nn.Module):
         h_img = layer_norm_no_affine(img) * (1 + scale_mlp_i) + shift_mlp_i
         h_txt = layer_norm_no_affine(txt) * (1 + scale_mlp_t) + shift_mlp_t
         img = img + gate_mlp_i * FeedForward(
-            self.dim, lora_rank=self.lora_rank, dtype=self.dtype,
+            self.dim, lora_rank=self.lora_rank,
+                lora_dropout=self.lora_dropout, dtype=self.dtype,
             name='ff_img')(h_img)
         txt = txt + gate_mlp_t * FeedForward(
-            self.dim, lora_rank=self.lora_rank, dtype=self.dtype,
+            self.dim, lora_rank=self.lora_rank,
+                lora_dropout=self.lora_dropout, dtype=self.dtype,
             name='ff_txt')(h_txt)
         if cn is not None:
             # controlnet residual on the image stream, applied at block end
@@ -131,6 +139,7 @@ class FluxSingleBlock(nn.Module):
     head_dim: int
     mlp_ratio: float = 4.0
     lora_rank: int = 0
+    lora_dropout: float = 0.0
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -142,10 +151,13 @@ class FluxSingleBlock(nn.Module):
             self.dim, self.num_heads, self.head_dim, dtype=self.dtype,
             name='attn')(h, rope)
         mlp_h = nn.gelu(LoRADense(int(self.dim * self.mlp_ratio),
-                                  lora_rank=self.lora_rank, dtype=self.dtype,
+                                  lora_rank=self.lora_rank,
+                                  lora_dropout=self.lora_dropout,
+                                  dtype=self.dtype,
                                   name='proj_mlp')(h), approximate=True)
         fused = jnp.concatenate([attn_out, mlp_h], axis=-1)
-        out = LoRADense(self.dim, lora_rank=self.lora_rank, dtype=self.dtype,
+        out = LoRADense(self.dim, lora_rank=self.lora_rank,
+            lora_dropout=self.lora_dropout, dtype=self.dtype,
                         name='proj_out')(fused)
         x = x + gate * out
         if cn is not None:
@@ -170,7 +182,7 @@ def _scan_blocks(block_cls, n_layers: int, name: str, remat: bool,
     return nn.scan(
         cls,
         variable_axes={'params': 0, 'quant': 0},
-        split_rngs={'params': True},
+        split_rngs={'params': True, 'dropout': True},
         in_axes=(nn.broadcast, 0) if scan_cn else nn.broadcast,
         length=n_layers,
     )(name=name, **block_kw)
@@ -218,6 +230,7 @@ class FluxBackbone(nn.Module):
     axes_dims_rope: Tuple[int, int, int] = (16, 56, 56)
     rope_theta: float = 10000.0
     lora_rank: int = 0
+    lora_dropout: float = 0.0
     checkpointing: bool = True
     dtype: Dtype = jnp.bfloat16
 
@@ -246,7 +259,8 @@ class FluxBackbone(nn.Module):
         g_scaled = guidance.astype(jnp.float32) * 1000.0 \
             if guidance is not None else None
         temb = TimeTextEmbed(self.inner_dim, self.guidance_embeds,
-                             lora_rank=self.lora_rank, dtype=dt,
+                             lora_rank=self.lora_rank,
+                                 lora_dropout=self.lora_dropout, dtype=dt,
                              name='time_text_embed')(
             t_scaled, pooled_projections, g_scaled)
 
@@ -259,6 +273,7 @@ class FluxBackbone(nn.Module):
             scan_cn=controlnet_block_samples is not None, dim=self.inner_dim,
             num_heads=self.num_attention_heads,
             head_dim=self.attention_head_dim, lora_rank=self.lora_rank,
+                lora_dropout=self.lora_dropout,
             dtype=dt)
         if controlnet_block_samples is not None:
             cn = _stack_controlnet_samples(
@@ -276,6 +291,7 @@ class FluxBackbone(nn.Module):
             dim=self.inner_dim,
             num_heads=self.num_attention_heads,
             head_dim=self.attention_head_dim, lora_rank=self.lora_rank,
+                lora_dropout=self.lora_dropout,
             dtype=dt)
         if controlnet_single_block_samples is not None:
             cn_s = _stack_controlnet_samples(

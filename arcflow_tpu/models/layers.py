@@ -48,12 +48,19 @@ class LoRADense(nn.Module):
 
     With ``lora_rank=0`` this is a plain Dense. The base kernel/bias stay in
     ``param_dtype``; lora leaves are fp32 (they are the trainable adapter).
+
+    ``lora_dropout`` matches peft's LoRA-branch dropout (the reference trains
+    with ``lora_dropout=0.05``, configs/flux/arcflux_2nfe_k16.py:49): dropout
+    on the adapter-branch *input* only, active only when the caller provides
+    a 'dropout' PRNG (``apply(..., rngs={'dropout': key})``) — deterministic
+    at eval/inference by construction.
     """
 
     features: int
     use_bias: bool = True
     lora_rank: int = 0
     lora_alpha: Optional[float] = None   # defaults to rank (scale 1)
+    lora_dropout: float = 0.0
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.lecun_normal()
@@ -103,7 +110,11 @@ class LoRADense(nn.Module):
             b = self.param('lora_b', nn.initializers.zeros,
                            (self.lora_rank, self.features), jnp.float32)
             scale = (self.lora_alpha or self.lora_rank) / self.lora_rank
-            y = y + (jnp.dot(jnp.dot(x.astype(self.dtype), a.astype(self.dtype)),
+            x_l = x.astype(self.dtype)
+            if self.lora_dropout > 0.0:
+                x_l = nn.Dropout(self.lora_dropout)(
+                    x_l, deterministic=not self.has_rng('dropout'))
+            y = y + (jnp.dot(jnp.dot(x_l, a.astype(self.dtype)),
                              b.astype(self.dtype)) * scale)
         return y
 
@@ -198,15 +209,18 @@ class FeedForward(nn.Module):
     dim: int
     mult: int = 4
     lora_rank: int = 0
+    lora_dropout: float = 0.0
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         h = LoRADense(self.dim * self.mult, lora_rank=self.lora_rank,
+            lora_dropout=self.lora_dropout,
                       dtype=self.dtype, name='in_proj')(x)
         h = shard_activation(nn.gelu(h, approximate=True), 'hidden')
         return shard_activation(
-            LoRADense(self.dim, lora_rank=self.lora_rank, dtype=self.dtype,
+            LoRADense(self.dim, lora_rank=self.lora_rank,
+                lora_dropout=self.lora_dropout, dtype=self.dtype,
                       name='out_proj')(h), 'residual')
 
 
@@ -336,6 +350,7 @@ class JointAttention(nn.Module):
     num_heads: int
     head_dim: int
     lora_rank: int = 0
+    lora_dropout: float = 0.0
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -346,11 +361,14 @@ class JointAttention(nn.Module):
         inner = self.num_heads * self.head_dim
 
         def qkv(x, prefix):
-            q = LoRADense(inner, lora_rank=self.lora_rank, dtype=self.dtype,
+            q = LoRADense(inner, lora_rank=self.lora_rank,
+                lora_dropout=self.lora_dropout, dtype=self.dtype,
                           name=f'{prefix}_q')(x)
-            k = LoRADense(inner, lora_rank=self.lora_rank, dtype=self.dtype,
+            k = LoRADense(inner, lora_rank=self.lora_rank,
+                lora_dropout=self.lora_dropout, dtype=self.dtype,
                           name=f'{prefix}_k')(x)
-            v = LoRADense(inner, lora_rank=self.lora_rank, dtype=self.dtype,
+            v = LoRADense(inner, lora_rank=self.lora_rank,
+                lora_dropout=self.lora_dropout, dtype=self.dtype,
                           name=f'{prefix}_v')(x)
             shape = (b, x.shape[1], self.num_heads, self.head_dim)
             return q.reshape(shape), k.reshape(shape), v.reshape(shape)
@@ -377,9 +395,11 @@ class JointAttention(nn.Module):
         txt_out, img_out = out[:, :s_txt], out[:, s_txt:]
         img_out = shard_activation(
             LoRADense(self.dim, lora_rank=self.lora_rank,
+                lora_dropout=self.lora_dropout,
                       dtype=self.dtype, name='img_out')(img_out), 'residual')
         txt_out = shard_activation(
             LoRADense(self.dim, lora_rank=self.lora_rank,
+                lora_dropout=self.lora_dropout,
                       dtype=self.dtype, name='txt_out')(txt_out), 'residual')
         return img_out, txt_out
 
@@ -392,6 +412,7 @@ class SingleStreamAttention(nn.Module):
     num_heads: int
     head_dim: int
     lora_rank: int = 0
+    lora_dropout: float = 0.0
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -399,11 +420,14 @@ class SingleStreamAttention(nn.Module):
         b, s, _ = x.shape
         inner = self.num_heads * self.head_dim
         shape = (b, s, self.num_heads, self.head_dim)
-        q = LoRADense(inner, lora_rank=self.lora_rank, dtype=self.dtype,
+        q = LoRADense(inner, lora_rank=self.lora_rank,
+            lora_dropout=self.lora_dropout, dtype=self.dtype,
                       name='q')(x).reshape(shape)
-        k = LoRADense(inner, lora_rank=self.lora_rank, dtype=self.dtype,
+        k = LoRADense(inner, lora_rank=self.lora_rank,
+            lora_dropout=self.lora_dropout, dtype=self.dtype,
                       name='k')(x).reshape(shape)
-        v = LoRADense(inner, lora_rank=self.lora_rank, dtype=self.dtype,
+        v = LoRADense(inner, lora_rank=self.lora_rank,
+            lora_dropout=self.lora_dropout, dtype=self.dtype,
                       name='v')(x).reshape(shape)
         q = RMSNorm(self.head_dim, dtype=self.dtype, name='q_norm')(q)
         k = RMSNorm(self.head_dim, dtype=self.dtype, name='k_norm')(k)

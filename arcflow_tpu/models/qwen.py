@@ -40,6 +40,7 @@ class QwenJointBlock(nn.Module):
     num_heads: int
     head_dim: int
     lora_rank: int = 0
+    lora_dropout: float = 0.0
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -69,10 +70,12 @@ class QwenJointBlock(nn.Module):
         h_img = layer_norm_no_affine(img) * (1 + scale_mlp_i) + shift_mlp_i
         h_txt = layer_norm_no_affine(txt) * (1 + scale_mlp_t) + shift_mlp_t
         img = img + gate_mlp_i * FeedForward(
-            self.dim, lora_rank=self.lora_rank, dtype=self.dtype,
+            self.dim, lora_rank=self.lora_rank,
+                lora_dropout=self.lora_dropout, dtype=self.dtype,
             name='ff_img')(h_img)
         txt = txt + gate_mlp_t * FeedForward(
-            self.dim, lora_rank=self.lora_rank, dtype=self.dtype,
+            self.dim, lora_rank=self.lora_rank,
+                lora_dropout=self.lora_dropout, dtype=self.dtype,
             name='ff_txt')(h_txt)
         return (img, txt), None
 
@@ -101,6 +104,7 @@ class QwenBackbone(nn.Module):
     scale_rope: bool = True
     max_text_len: Optional[int] = None
     lora_rank: int = 0
+    lora_dropout: float = 0.0
     checkpointing: bool = True
     dtype: Dtype = jnp.bfloat16
 
@@ -129,7 +133,8 @@ class QwenBackbone(nn.Module):
 
         t_feat = timestep_sinusoidal(t.astype(jnp.float32) * 1000.0,
                                      256).astype(dt)
-        temb = MLPEmbedder(self.inner_dim, lora_rank=self.lora_rank, dtype=dt,
+        temb = MLPEmbedder(self.inner_dim, lora_rank=self.lora_rank,
+            lora_dropout=self.lora_dropout, dtype=dt,
                            name='timestep_embedder')(t_feat)
 
         txt_ids = jnp.zeros((txt.shape[1], 3), jnp.int32)
@@ -142,6 +147,7 @@ class QwenBackbone(nn.Module):
             remat=self.checkpointing, dim=self.inner_dim,
             num_heads=self.num_attention_heads,
             head_dim=self.attention_head_dim, lora_rank=self.lora_rank,
+                lora_dropout=self.lora_dropout,
             dtype=dt)
         (img, txt), _ = blocks((img, txt),
                                (rope, temb, encoder_hidden_states_mask))

@@ -35,6 +35,31 @@ def _require_transformers():
                            'otherwise') from e
 
 
+class _JnpClipCompat:
+    """jnp proxy whose clip() accepts the removed a_min/a_max spellings.
+
+    transformers' FlaxT5 still calls ``jnp.clip(x, a_max=...)``
+    (modeling_flax_t5.py:261) — deprecated in jax and slated for removal,
+    i.e. the T5 path would break on a jax upgrade. ``modeling_flax_t5`` does
+    ``import jax.numpy as jnp``, so swapping that module's ``jnp`` attribute
+    for this proxy is contained to the one file.
+    """
+
+    def __getattr__(self, name):
+        return getattr(jnp, name)
+
+    @staticmethod
+    def clip(x, a_min=None, a_max=None, **kwargs):
+        return jnp.clip(x, min=kwargs.get('min', a_min),
+                        max=kwargs.get('max', a_max))
+
+
+def _patch_flax_t5_clip(tf) -> None:
+    m = tf.models.t5.modeling_flax_t5
+    if not isinstance(m.jnp, _JnpClipCompat):
+        m.jnp = _JnpClipCompat()
+
+
 @MODULES.register_module()
 class PretrainedFluxTextEncoder:
     """CLIP-L pooled embedding + T5-XXL sequence embedding (reference
@@ -54,6 +79,7 @@ class PretrainedFluxTextEncoder:
         if self._loaded:
             return
         tf = _require_transformers()
+        _patch_flax_t5_clip(tf)
         self.clip_tokenizer = tf.CLIPTokenizer.from_pretrained(self.clip_path)
         self.clip = tf.FlaxCLIPTextModel.from_pretrained(
             self.clip_path, dtype=self.dtype)
@@ -187,6 +213,7 @@ class PretrainedStableDiffusion3TextEncoder:
         if self._loaded:
             return
         tf = _require_transformers()
+        _patch_flax_t5_clip(tf)
         proj_cls = getattr(tf, 'FlaxCLIPTextModelWithProjection',
                            tf.FlaxCLIPTextModel)
 

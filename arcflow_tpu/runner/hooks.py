@@ -20,6 +20,52 @@ import numpy as np
 from ..registry import HOOKS
 
 
+class IterTimer:
+    """Wall-clock section timer (context manager), enabled on demand —
+    behavioral match of the reference's ``IterTimer``
+    (``lakonlab/runner/timer.py:15-52``) with device sync handled by the
+    runner (XLA has no per-stream synchronize; the runner blocks on the
+    step's outputs instead)."""
+
+    def __init__(self, name: str = 'time', enabled: bool = False):
+        self.name = name
+        self.enabled = enabled
+        self.times = []
+        self._t0 = None
+
+    def __enter__(self):
+        if self.enabled:
+            self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        if self.enabled and self._t0 is not None:
+            self.times.append(time.perf_counter() - self._t0)
+            self._t0 = None
+
+    def average(self) -> float:
+        return float(np.mean(self.times)) if self.times else 0.0
+
+    def reset(self):
+        self.times = []
+
+
+class IterTimers(dict):
+    """Named timer registry (reference ``IterTimers``, timer.py:55-72)."""
+
+    def add_timer(self, name: str = 'time', enabled: bool = False):
+        self[name] = IterTimer(name, enabled=enabled)
+        return self[name]
+
+    def enable_all(self):
+        for t in self.values():
+            t.enabled = True
+
+    def disable_all(self):
+        for t in self.values():
+            t.enabled = False
+
+
 class Hook:
     priority = 50
 
@@ -124,6 +170,102 @@ class TensorboardLoggerHook(Hook):
     def after_run(self, runner):
         if self._writer is not None:
             self._writer.close()
+
+
+@HOOKS.register_module()
+class WandbLoggerHook(Hook):
+    """Weights & Biases logging behind an import guard (the reference wires
+    mmcv's WandbLoggerHook from log_config, README.md:83-89).
+
+    With the wandb package installed this is a real event stream
+    (zero-egress machines can use ``WANDB_MODE=offline``); without it the
+    hook degrades to the metrics.jsonl stream with a warning instead of
+    failing the run.
+    """
+
+    priority = 90
+
+    def __init__(self, interval: int = 50,
+                 init_kwargs: Optional[Dict[str, Any]] = None):
+        self.interval = interval
+        self.init_kwargs = dict(init_kwargs or {})
+        self._run = None
+        self._fallback = None
+
+    def before_run(self, runner):
+        try:
+            import wandb
+        except ImportError:
+            runner.logger.warning(
+                'wandb is not installed; WandbLoggerHook falls back to '
+                'metrics.jsonl (install wandb or use WANDB_MODE=offline '
+                'for a real event stream)')
+            self._fallback = JsonLoggerHook(self.interval)
+            self._fallback.before_run(runner)
+            return
+        kwargs = dict(self.init_kwargs)
+        kwargs.setdefault('dir', runner.work_dir)
+        self._run = wandb.init(**kwargs)
+
+    def after_train_iter(self, runner):
+        if self._fallback is not None:
+            self._fallback.after_train_iter(runner)
+            return
+        if runner.iter % self.interval != 0 or self._run is None:
+            return
+        scalars = {k: float(v) for k, v in runner.log_buffer.items()
+                   if np.ndim(v) == 0}
+        self._run.log(scalars, step=runner.iter)
+
+    def after_run(self, runner):
+        if self._fallback is not None:
+            self._fallback.after_run(runner)
+        elif self._run is not None:
+            self._run.finish()
+            self._run = None
+
+
+@HOOKS.register_module()
+class IterTimerHook(Hook):
+    """Per-section wall timers: data / dispatch / device-synced step.
+
+    Equivalent of the reference's synchronized ``IterTimer`` section timers
+    (``lakonlab/runner/timer.py:15-72``). ``sync=True`` blocks on the step's
+    log outputs every iteration so 'step' measures true device time — like
+    the reference's ``torch.cuda.synchronize()`` timers this is a
+    diagnostic mode: it defeats async dispatch overlap while enabled.
+    Logged as ``time_data`` / ``time_step`` (+ ``time_iter`` total).
+    """
+
+    priority = 30
+
+    def __init__(self, interval: int = 50, sync: bool = True):
+        self.interval = interval
+        self.sync = sync
+        self._t_iter_last = None
+        self._iter_times = []
+
+    def before_run(self, runner):
+        runner.timers.enable_all()
+        runner.sync_each_iter = runner.sync_each_iter or self.sync
+        self._t_iter_last = time.perf_counter()
+
+    def after_train_iter(self, runner):
+        now = time.perf_counter()
+        self._iter_times.append(now - self._t_iter_last)
+        self._t_iter_last = now
+        if runner.iter % self.interval != 0:
+            return
+        for name, timer in runner.timers.items():
+            if timer.times:
+                runner.log_buffer[f'time_{name}'] = timer.average()
+                timer.reset()
+        runner.log_buffer['time_iter'] = float(np.mean(self._iter_times))
+        self._iter_times = []
+
+    def after_run(self, runner):
+        runner.timers.disable_all()
+        runner.sync_each_iter = False
 
 
 @HOOKS.register_module()

@@ -16,7 +16,7 @@ import jax
 import numpy as np
 
 from ..registry import HOOKS
-from .hooks import Hook, build_logger
+from .hooks import Hook, IterTimers, build_logger
 from .train_state import TrainState
 
 
@@ -49,6 +49,13 @@ class IterBasedRunner:
         # With gc_interval set, automatic GC is disabled for the loop and a
         # full collection runs every N iters instead.
         self.gc_interval = gc_interval
+        # Section timers (IterTimerHook enables them): 'data' wraps the host
+        # fetch, 'step' wraps dispatch (+ a blocking device sync when
+        # sync_each_iter — the reference's synchronized-timer diagnostic).
+        self.timers = IterTimers()
+        self.timers.add_timer('data')
+        self.timers.add_timer('step')
+        self.sync_each_iter = False
 
     @property
     def iter(self) -> int:
@@ -69,12 +76,16 @@ class IterBasedRunner:
             gc.disable()
         try:
             while self._iter < self.total_iters:
-                batch = next(self.data_iter)
-                # host numpy -> device; already-placed (sharded) arrays pass
-                batch = jax.tree.map(
-                    lambda x: x if isinstance(x, jax.Array) else np.asarray(x),
-                    batch)
-                self.state, logs = self.train_step_fn(self.state, batch)
+                with self.timers['data']:
+                    batch = next(self.data_iter)
+                    # host numpy -> device; already-placed arrays pass
+                    batch = jax.tree.map(
+                        lambda x: x if isinstance(x, jax.Array)
+                        else np.asarray(x), batch)
+                with self.timers['step']:
+                    self.state, logs = self.train_step_fn(self.state, batch)
+                    if self.sync_each_iter:
+                        jax.block_until_ready(logs)
                 self._iter += 1
                 self.log_buffer = dict(logs)
                 self.call_hook('after_train_iter')
@@ -104,13 +115,6 @@ def build_hooks(log_config: Optional[dict] = None, extra_hooks: Sequence = (),
         for h_cfg in log_config.get('hooks', []):
             h_cfg = dict(h_cfg)
             h_type = h_cfg.pop('type')
-            # wandb is served by the jsonl stream (no egress); TB is native
-            alias = {'WandbLoggerHook': 'JsonLoggerHook'}
-            if h_type in alias:
-                logger.warning(
-                    f'{h_type} is served by {alias[h_type]} (metrics.jsonl '
-                    f'replaces the wandb event stream in this build)')
-                h_type = alias[h_type]
             if h_type not in HOOKS:
                 logger.warning(f'unknown hook type {h_type!r} skipped')
                 continue

@@ -34,6 +34,8 @@ model = dict(
             guidance_embeds=True,
             checkpointing=True,
             lora_rank=256,
+            # LoRA-branch dropout, train-mode only (reference lora_dropout=0.05)
+            lora_dropout=0.05,
             # local converted FLUX.1-dev transformer weights (safetensors
             # dir, file, or sharded *.index.json); None = random init.
             # Reference: pretrained='huggingface://black-forest-labs/

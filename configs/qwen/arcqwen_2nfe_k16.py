@@ -30,6 +30,8 @@ model = dict(
             max_text_len=512,
             checkpointing=True,
             lora_rank=256,
+            # LoRA-branch dropout, train-mode only (reference lora_dropout=0.05)
+            lora_dropout=0.05,
             # local converted Qwen-Image transformer weights (safetensors
             # dir/file/index.json); None = random init (zero egress)
             pretrained=None,

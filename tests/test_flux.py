@@ -226,3 +226,61 @@ def test_flux_fill_mask_concat():
     out2 = model.apply({'params': params}, x,
                        **{**inputs, 'mask': jnp.zeros((1, 8, 8, 1))})
     assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-4
+
+
+def test_lora_dropout_train_only():
+    """LoRA-branch dropout (reference lora_dropout=0.05) is active only when
+    a 'dropout' rng is provided; eval/apply without it is deterministic and
+    identical to the rate-0 module."""
+    from arcflow_tpu.models.layers import LoRADense
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16))
+    layer = LoRADense(8, lora_rank=4, lora_dropout=0.5, dtype=jnp.float32)
+    params = layer.init(jax.random.PRNGKey(1), x)['params']
+    # make the LoRA branch non-zero so dropout has an observable effect
+    params = dict(params, lora_b=jnp.ones_like(params['lora_b']))
+
+    y_det1 = layer.apply({'params': params}, x)
+    y_det2 = layer.apply({'params': params}, x)
+    np.testing.assert_array_equal(np.asarray(y_det1), np.asarray(y_det2))
+
+    plain = LoRADense(8, lora_rank=4, lora_dropout=0.0, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(plain.apply({'params': params}, x)), np.asarray(y_det1))
+
+    y_a = layer.apply({'params': params}, x,
+                      rngs={'dropout': jax.random.PRNGKey(2)})
+    y_b = layer.apply({'params': params}, x,
+                      rngs={'dropout': jax.random.PRNGKey(3)})
+    assert not np.allclose(np.asarray(y_a), np.asarray(y_det1))
+    assert not np.allclose(np.asarray(y_a), np.asarray(y_b))
+
+
+def test_lora_dropout_through_model_and_scan():
+    """dropout rng threads through nn.scan blocks (split per layer) and the
+    GaussianFlow.pred plumbing."""
+    # teacher class: its proj_out has a normal (non-zero) init, so trunk
+    # perturbations reach the output (the ArcFlux heads are zero-init by
+    # design and would mask the effect at init)
+    model = FluxTransformer2DModel(patch_size=2, lora_rank=2,
+                                   lora_dropout=0.5, **TINY)
+    inputs = tiny_inputs()
+    params = model.init(jax.random.PRNGKey(1), **inputs)['params']
+
+    # non-zero lora_b leaves so the dropout branch is observable, and
+    # non-zero AdaLN modulation kernels so the zero-init gates don't mask
+    # the LoRA'd FF/proj outputs at init
+    def bump(path, leaf):
+        if 'lora_b' in path:
+            return jnp.ones_like(leaf)
+        if 'modulation' in path and 'kernel' in path:
+            return jnp.full_like(leaf, 0.05)
+        return leaf
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, v: bump(jax.tree_util.keystr(p), v), params)
+
+    out_det = model.apply({'params': params}, **inputs)
+    out_det2 = model.apply({'params': params}, **inputs)
+    np.testing.assert_array_equal(np.asarray(out_det), np.asarray(out_det2))
+    out_a = model.apply({'params': params}, **inputs,
+                        rngs={'dropout': jax.random.PRNGKey(7)})
+    assert not np.allclose(np.asarray(out_det), np.asarray(out_a))

@@ -178,3 +178,19 @@ def test_policy_jits_through_scan():
     # (the field is a function of sigma alone), so these must agree closely
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_direct), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_return_mid_half_displacement():
+    """return_mid (reference arcqwen_pipeline.py:230-235) reuses the
+    full-step factor at half the step: x_mid == x - displacement/2."""
+    policy = make_policy(jax.random.PRNGKey(5))
+    x = policy.x_t_src
+    s0 = policy.sigma_t_src
+    s1 = s0 - 0.4
+    x_end, x_mid = momentum_integration(policy, x, s0, s1, return_mid=True)
+    x_end_only = momentum_integration(policy, x, s0, s1)
+    np.testing.assert_allclose(np.asarray(x_end), np.asarray(x_end_only))
+    np.testing.assert_allclose(np.asarray(x_mid),
+                               np.asarray(x) - 0.5 * (np.asarray(x)
+                                                      - np.asarray(x_end)),
+                               rtol=1e-6, atol=1e-6)

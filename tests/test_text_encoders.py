@@ -81,10 +81,15 @@ def t5_dir(tmp_path_factory, tok_dir):
 
 
 def test_flux_text_encoder_contract(clip_dir, t5_dir):
+    import warnings
     from arcflow_tpu.models import PretrainedFluxTextEncoder
     enc = PretrainedFluxTextEncoder(clip_path=clip_dir, t5_path=t5_dir,
                                     max_sequence_length=16, dtype='float32')
-    out = enc(PROMPTS)
+    with warnings.catch_warnings():
+        # the _patch_flax_t5_clip shim must silence transformers'
+        # deprecated jnp.clip(a_max=) call (would break on a jax upgrade)
+        warnings.simplefilter('error', DeprecationWarning)
+        out = enc(PROMPTS)
     assert set(out) == {'encoder_hidden_states', 'pooled_projections'}
     assert out['encoder_hidden_states'].shape == (2, 16, 80)   # (B, L, t5_d)
     assert out['pooled_projections'].shape[0] == 2

@@ -191,9 +191,9 @@ def test_build_hooks_passes_kwargs_and_warns():
         logger.setLevel(old_level)
     assert hooks[0].interval == 25   # by_epoch accepted, bogus_key dropped
     assert type(hooks[1]).__name__ == 'TensorboardLoggerHook'  # real TB
-    assert type(hooks[2]).__name__ == 'JsonLoggerHook'         # wandb alias
+    assert type(hooks[2]).__name__ == 'WandbLoggerHook'        # real hook
     text = ' '.join(records)
-    assert 'bogus_key' in text and 'WandbLoggerHook' in text
+    assert 'bogus_key' in text
 
 
 def test_tensorboard_hook_writes_events(tmp_path):
@@ -267,3 +267,107 @@ def test_profiler_hook_writes_trace(tmp_path):
     runner.run()
     found = [os.path.join(r, f) for r, _, fs in os.walk(out) for f in fs]
     assert found, 'profiler trace produced no files'
+
+
+def test_iter_timer_hook_logs_sections(tmp_path):
+    """IterTimerHook (reference runner/timer.py:15-72 equivalent) logs
+    time_data / time_step / time_iter on its interval."""
+    from arcflow_tpu.runner import IterBasedRunner
+    from arcflow_tpu.runner.hooks import IterTimerHook
+
+    def fake_step(state, batch):
+        return state, {'loss': jnp.asarray(1.0)}
+
+    def data_gen():
+        while True:
+            yield {'x': np.zeros((2,))}
+
+    runner = IterBasedRunner(model=None, state=_state_stub(), data_iter=data_gen(),
+                             train_step_fn=fake_step, total_iters=4,
+                             work_dir=str(tmp_path),
+                             hooks=[IterTimerHook(interval=2, sync=True)])
+    runner.run()
+    assert 'time_data' in runner.log_buffer
+    assert 'time_step' in runner.log_buffer
+    assert 'time_iter' in runner.log_buffer
+    assert runner.log_buffer['time_iter'] >= 0.0
+    # hook disables the timers again at the end of the run
+    assert not runner.timers['data'].enabled
+    assert not runner.sync_each_iter
+
+
+def _state_stub():
+    class _S:
+        step = 0
+    return _S()
+
+
+def test_wandb_hook_real_stream(tmp_path, monkeypatch):
+    """With a wandb package importable, WandbLoggerHook drives the real API
+    (verified against a fake module injected into sys.modules)."""
+    import sys
+    import types
+    from arcflow_tpu.runner import IterBasedRunner
+    from arcflow_tpu.runner.hooks import WandbLoggerHook
+
+    calls = {'init': [], 'log': [], 'finish': 0}
+
+    class FakeRun:
+        def log(self, scalars, step=None):
+            calls['log'].append((step, scalars))
+
+        def finish(self):
+            calls['finish'] += 1
+
+    fake = types.ModuleType('wandb')
+    fake.init = lambda **kw: (calls['init'].append(kw), FakeRun())[1]
+    monkeypatch.setitem(sys.modules, 'wandb', fake)
+
+    def fake_step(state, batch):
+        return state, {'loss': jnp.asarray(0.5)}
+
+    def data_gen():
+        while True:
+            yield {'x': np.zeros((2,))}
+
+    runner = IterBasedRunner(model=None, state=_state_stub(),
+                             data_iter=data_gen(), train_step_fn=fake_step,
+                             total_iters=4, work_dir=str(tmp_path),
+                             hooks=[WandbLoggerHook(interval=2)])
+    runner.run()
+    assert calls['init'] and calls['init'][0]['dir'] == str(tmp_path)
+    assert [s for s, _ in calls['log']] == [2, 4]
+    assert calls['log'][0][1]['loss'] == 0.5
+    assert calls['finish'] == 1
+
+
+def test_wandb_hook_fallback_without_package(tmp_path, monkeypatch):
+    """Without wandb installed the hook degrades to metrics.jsonl with a
+    warning (import guard, VERDICT round-2 item 2)."""
+    import builtins
+    import json as _json
+    from arcflow_tpu.runner import IterBasedRunner
+    from arcflow_tpu.runner.hooks import WandbLoggerHook
+
+    real_import = builtins.__import__
+
+    def no_wandb(name, *a, **kw):
+        if name == 'wandb':
+            raise ImportError('no wandb in this build')
+        return real_import(name, *a, **kw)
+    monkeypatch.setattr(builtins, '__import__', no_wandb)
+
+    def fake_step(state, batch):
+        return state, {'loss': jnp.asarray(0.25)}
+
+    def data_gen():
+        while True:
+            yield {'x': np.zeros((2,))}
+
+    runner = IterBasedRunner(model=None, state=_state_stub(),
+                             data_iter=data_gen(), train_step_fn=fake_step,
+                             total_iters=2, work_dir=str(tmp_path),
+                             hooks=[WandbLoggerHook(interval=2)])
+    runner.run()
+    metrics = (tmp_path / 'metrics.jsonl').read_text().strip().splitlines()
+    assert _json.loads(metrics[-1])['loss'] == 0.25
