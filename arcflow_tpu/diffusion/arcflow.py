@@ -189,6 +189,14 @@ class ArcFlowImitationBase(GaussianFlow):
         ori_dtype = noise.dtype
         x = jnp.asarray(noise, jnp.float32)
 
+        # pin conditioning inputs at the program boundary (see
+        # parallel/mesh.py 'batch'): keeps GSPMD from back-propagating an
+        # interior layout onto the input params under a sharded mesh
+        from ..parallel.mesh import shard_activation
+        kwargs = {k: shard_activation(v, 'batch')
+                  if isinstance(v, jax.Array) else v
+                  for k, v in kwargs.items()}
+
         # host-side raw-time grid (final segment scaled by timestep_ratio)
         # and per-step temperatures (none on the final step)
         raw = [1.0]

@@ -232,6 +232,10 @@ class GaussianFlow:
         sigmas = jnp.asarray(scheduler.set_timesteps(num_steps, seq_len=seq_len))
         ori_dtype = noise.dtype
         x = jnp.asarray(noise, jnp.float32)
+        from ..parallel.mesh import shard_activation
+        kwargs = {k: shard_activation(v, 'batch')
+                  if isinstance(v, jax.Array) else v
+                  for k, v in kwargs.items()}
         num_batches = x.shape[0]
         stateful = getattr(scheduler, 'stateful', False)
         sched_state0 = scheduler.init_state(x) if stateful else 0.0

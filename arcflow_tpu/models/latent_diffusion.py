@@ -255,13 +255,17 @@ class LatentDiffusionTextImage(BaseModel):
     def _teacher_fn(self, frozen, batch, bs: int):
         """Closure querying the frozen teacher's u with CFG + distilled
         guidance (reference ``_prepare_train_minibatch_teacher_args``)."""
+        from ..parallel.mesh import shard_activation
         t_params = jax.lax.stop_gradient(self.teacher_params(frozen))
         gs = self.train_cfg.get('teacher_guidance_scale', None)
         use_cfg = gs is not None and gs not in (0.0, 1.0)
-        pos = self._prompt_embeds(batch)
+        pos = {k: shard_activation(v, 'batch')
+               for k, v in self._prompt_embeds(batch).items()}
         if use_cfg:
             neg = self._prompt_embeds(batch, negative=True)
-            kwargs = {k: jnp.concatenate([neg[k], v], axis=0)
+            kwargs = {k: shard_activation(
+                jnp.concatenate([shard_activation(neg[k], 'batch'), v],
+                                axis=0), 'batch')
                       for k, v in pos.items()}
         else:
             gs = 1.0
@@ -278,9 +282,14 @@ class LatentDiffusionTextImage(BaseModel):
 
     # ---- training -------------------------------------------------------------
     def loss(self, trainable, frozen, rng, batch, running_status=None):
-        latents = self._latents(batch, frozen)
+        from ..parallel.mesh import shard_activation
+        latents = shard_activation(self._latents(batch, frozen), 'batch')
         bs = latents.shape[0]
-        diffusion_kwargs = self._prompt_embeds(batch)
+        # pin the embed inputs at the program boundary so GSPMD doesn't
+        # back-propagate an interior (seq-sharded) layout onto the batch
+        # params (involuntary full-remat reshard otherwise)
+        diffusion_kwargs = {k: shard_activation(v, 'batch')
+                            for k, v in self._prompt_embeds(batch).items()}
         dgs = self.train_cfg.get('distilled_guidance_scale', None)
         if dgs is not None:
             diffusion_kwargs['guidance'] = jnp.full((bs,), dgs, jnp.float32)

@@ -264,6 +264,18 @@ def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
 _FLASH_MIN_SEQ = 1024   # below this XLA's fused attention wins on dispatch
 
 
+def key_padding_mask(mask, s_kv: int) -> Optional[Array]:
+    """(B, S_kv) bool key-validity when ``mask`` is a key-only padding mask
+    broadcast over queries and heads — the form the Qwen joint blocks build
+    ([txt_mask, ones(img)], reference arcqwen.py:325-332) — else None."""
+    if mask is None:
+        return None
+    if (mask.ndim == 4 and mask.shape[1] == 1 and mask.shape[2] == 1
+            and mask.shape[-1] == s_kv):
+        return mask[:, 0, 0, :].astype(bool)
+    return None
+
+
 def _flash_ok(q: Array, mask) -> bool:
     from ..parallel.mesh import sequence_parallel_active
     b, s, h, d = q.shape
@@ -273,17 +285,30 @@ def _flash_ok(q: Array, mask) -> bool:
     dd = jax.config.jax_default_device
     if dd is not None and getattr(dd, 'platform', 'tpu') != 'tpu':
         return False
-    # the Pallas kernel needs manual sharding; under tensor/sequence
-    # parallelism route through XLA's partitionable fused attention
-    return (mask is None and jax.default_backend() == 'tpu'
+    # key-padding masks lower to kernel segment ids; anything else (a full
+    # additive/2-D mask) stays on the XLA path. The Pallas kernel needs
+    # manual sharding; under tensor/sequence parallelism route through the
+    # shard_map path below instead.
+    if mask is not None and key_padding_mask(mask, s) is None:
+        return False
+    return (jax.default_backend() == 'tpu'
             and not sequence_parallel_active()
             and s >= _FLASH_MIN_SEQ and s % 512 == 0 and d % 128 == 0)
 
 
-def _flash_call(q: Array, k: Array, v: Array) -> Array:
-    """Tuned Pallas flash attention on (B, S, H, D); TPU only, no mask."""
+def _flash_call(q: Array, k: Array, v: Array,
+                kv_valid: Optional[Array] = None) -> Array:
+    """Tuned Pallas flash attention on (B, S, H, D); TPU only.
+
+    ``kv_valid`` (B, S) bool lowers a key-padding mask to kernel segment
+    ids: every query carries id 0, padded keys id 1, so q_id == kv_id
+    excludes exactly the padded keys — bitwise the reference's
+    ``attention_mask`` semantics (valid queries unmasked over valid keys)
+    with no S x S mask materialization. This is what puts Qwen's 60
+    masked joint blocks on the tuned kernel instead of generic XLA.
+    """
     from jax.experimental.pallas.ops.tpu.flash_attention import \
-        BlockSizes, flash_attention
+        BlockSizes, SegmentIds, flash_attention
     s, d = q.shape[1], q.shape[-1]
     scale = 1.0 / (d ** 0.5)
     # explicit block sizes matter: the kernel's defaults leave ~5x on the
@@ -296,10 +321,15 @@ def _flash_call(q: Array, k: Array, v: Array) -> Array:
         block_q_major_dkv=bq, block_k_major_dkv=bk_major, block_k_dkv=bk,
         block_q_dkv=bq, block_k_major_dq=bk_major, block_k_dq=bk,
         block_q_dq=bq)
+    seg = None
+    if kv_valid is not None:
+        b = q.shape[0]
+        ids_kv = jnp.where(kv_valid, 0, 1).astype(jnp.int32)
+        seg = SegmentIds(q=jnp.zeros((b, s), jnp.int32), kv=ids_kv)
     # (B, S, H, D) -> (B, H, S, D)
     qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
-    out = flash_attention(qt, kt, vt, causal=False, sm_scale=scale,
-                          block_sizes=block_sizes)
+    out = flash_attention(qt, kt, vt, segment_ids=seg, causal=False,
+                          sm_scale=scale, block_sizes=block_sizes)
     return out.transpose(0, 2, 1, 3).astype(q.dtype)
 
 
@@ -307,38 +337,52 @@ def attention(q: Array, k: Array, v: Array,
               mask: Optional[Array] = None) -> Array:
     """Scaled dot-product attention on (B, S, H, D) tensors.
 
-    Long unmasked sequences (the 4608-token FLUX joint attention) route
-    through the Pallas TPU flash-attention kernel (tiled online-softmax, no
-    S x S materialization). Under sequence/tensor parallelism the kernel is
-    not GSPMD-partitionable, so it runs per head-shard inside a
-    ``shard_map`` over the ambient mesh (each device holds the full
-    sequence for its head slice — the Ulysses layout that
+    Long sequences (the 4608-token FLUX/Qwen joint attention) route through
+    the Pallas TPU flash-attention kernel (tiled online-softmax, no S x S
+    materialization); key-padding masks (Qwen's text mask) lower to kernel
+    segment ids rather than falling back to XLA. Under sequence/tensor
+    parallelism the kernel is not GSPMD-partitionable, so it runs per
+    head-shard inside a ``shard_map`` over the ambient mesh (each device
+    holds the full sequence for its head slice — the Ulysses layout that
     ``shard_activation('heads')`` already pins, so no extra resharding).
     Everything else uses jax.nn.dot_product_attention (XLA-fused). Softmax
     accumulates in fp32 on all paths.
     """
+    kv_valid = key_padding_mask(mask, k.shape[1])
     if _flash_ok(q, mask):
-        return _flash_call(q, k, v)
-    if mask is None:
+        return _flash_call(q, k, v, kv_valid)
+    if mask is None or kv_valid is not None:
         from ..parallel.mesh import heads_partition
         part = heads_partition(q.shape)
         if part is not None:
             from jax import shard_map
+            from jax.sharding import PartitionSpec as P
             mesh, spec = part
             s, d = q.shape[1], q.shape[-1]
             use_flash = (jax.default_backend() == 'tpu'
                          and s >= _FLASH_MIN_SEQ and s % 512 == 0
                          and d % 128 == 0)
 
-            def body(ql, kl, vl):
+            def body(ql, kl, vl, kvl):
                 if use_flash:
-                    return _flash_call(ql, kl, vl)
+                    return _flash_call(ql, kl, vl, kvl)
                 # CPU-simulated meshes (tests) exercise the same specs and
                 # collectives with the XLA kernel inside the shard
-                return jax.nn.dot_product_attention(ql, kl, vl)
+                m = None if kvl is None else kvl[:, None, None, :]
+                return jax.nn.dot_product_attention(ql, kl, vl, mask=m)
 
-            return shard_map(body, mesh=mesh, in_specs=(spec,) * 3,
-                             out_specs=spec, check_vma=False)(q, k, v)
+            # kv_valid is per (B, S): sharded on batch only, replicated
+            # over the head shards
+            kv_spec = P(spec[0], None)
+            if kv_valid is None:
+                return shard_map(
+                    lambda a, b_, c: body(a, b_, c, None), mesh=mesh,
+                    in_specs=(spec,) * 3, out_specs=spec,
+                    check_vma=False)(q, k, v)
+            return shard_map(body, mesh=mesh,
+                             in_specs=(spec, spec, spec, kv_spec),
+                             out_specs=spec, check_vma=False)(q, k, v,
+                                                              kv_valid)
     return jax.nn.dot_product_attention(q, k, v, mask=mask)
 
 
@@ -371,7 +415,14 @@ class JointAttention(nn.Module):
                 lora_dropout=self.lora_dropout, dtype=self.dtype,
                           name=f'{prefix}_v')(x)
             shape = (b, x.shape[1], self.num_heads, self.head_dim)
-            return q.reshape(shape), k.reshape(shape), v.reshape(shape)
+            # pin the reshape-compatible layout (seq over sp, heads over
+            # tensor), then move to the attention layout (full seq per head
+            # shard) — an explicit 4-D all-to-all instead of a sharding
+            # change through a reshape; heads-first also keeps the [txt,img]
+            # seq concat below on an unsharded dim
+            return (shard_activation(
+                shard_activation(t.reshape(shape), 'heads_seq'), 'heads')
+                for t in (q, k, v))
 
         q_i, k_i, v_i = qkv(img, 'img')
         q_t, k_t, v_t = qkv(txt, 'txt')
@@ -390,7 +441,7 @@ class JointAttention(nn.Module):
         q, k, v = (shard_activation(t, 'heads') for t in (q, k, v))
 
         out = shard_activation(
-            attention(q, k, v, mask=mask), 'heads'
+            attention(q, k, v, mask=mask), 'heads_seq'
         ).reshape(b, s_txt + s_img, inner)
         txt_out, img_out = out[:, :s_txt], out[:, s_txt:]
         img_out = shard_activation(
@@ -429,11 +480,12 @@ class SingleStreamAttention(nn.Module):
         v = LoRADense(inner, lora_rank=self.lora_rank,
             lora_dropout=self.lora_dropout, dtype=self.dtype,
                       name='v')(x).reshape(shape)
+        q, k, v = (shard_activation(t, 'heads_seq') for t in (q, k, v))
         q = RMSNorm(self.head_dim, dtype=self.dtype, name='q_norm')(q)
         k = RMSNorm(self.head_dim, dtype=self.dtype, name='k_norm')(k)
         cos, sin = rope
         q = apply_rope(q, cos[None, :, None, :], sin[None, :, None, :])
         k = apply_rope(k, cos[None, :, None, :], sin[None, :, None, :])
         q, k, v = (shard_activation(t, 'heads') for t in (q, k, v))
-        return shard_activation(attention(q, k, v), 'heads'
+        return shard_activation(attention(q, k, v), 'heads_seq'
                                 ).reshape(b, s, inner)

@@ -1,5 +1,6 @@
 """Mesh parallelism (data/fsdp/tensor axes over ICI/DCN)."""
 
+from .audit import audit_compiled, collective_stats, tree_bytes
 from .mesh import (make_mesh, fsdp_shard_params, fsdp_spec_for,
                    param_spec_for, shard_state, shard_batch, batch_sharding,
                    batch_axes, replicated, setup_distributed,
@@ -12,4 +13,5 @@ __all__ = ['make_mesh', 'fsdp_shard_params', 'fsdp_spec_for',
            'batch_axes', 'replicated', 'setup_distributed',
            'set_activation_sharding', 'clear_activation_sharding',
            'activation_sharding', 'shard_activation',
-           'sequence_parallel_active']
+           'sequence_parallel_active',
+           'audit_compiled', 'collective_stats', 'tree_bytes']

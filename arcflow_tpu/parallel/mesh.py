@@ -283,9 +283,22 @@ def shard_activation(x, kind: str):
     """Constrain one activation if a mesh is active; no-op otherwise.
 
     kinds (leading dim is always the (data, fsdp) batch):
-      'residual' — (B, N, D) token stream, features replicated on tensor;
-      'heads'    — (B, N, H, hd) attention heads over the tensor axis;
-      'hidden'   — (B, N, F) wide MLP/attn-concat features over tensor.
+      'residual'  — (B, N, D) token stream, features replicated on tensor;
+      'heads'     — (B, N, H, hd) attention heads over the tensor axis;
+      'heads_seq' — (B, N, H, hd) seq over sp, heads over tensor: the layout
+                    on BOTH sides of the qkv/out reshapes. Pinning it makes
+                    the Ulysses token<->head transition an explicit 4-D
+                    reshard (an all-to-all GSPMD partitions cleanly) instead
+                    of a sharding change through a reshape, which the SPMD
+                    partitioner can only do by full rematerialization
+                    (replicate + repartition — wasted all-gathers on the
+                    train/inference hot path);
+      'hidden'    — (B, N, F) wide MLP/attn-concat features over tensor;
+      'batch'     — any (B, ...) program input: batch over (data, fsdp),
+                    rest replicated. Pinning inputs where they enter the
+                    jitted program keeps GSPMD from back-propagating an
+                    interior layout onto the input params (an involuntary
+                    full-remat reshard at the program boundary otherwise).
     """
     mesh = _ACT['mesh']
     if mesh is None:
@@ -299,9 +312,11 @@ def shard_activation(x, kind: str):
         if mesh.shape.get(_ACT['tensor_axis'], 1) > 1 else None
     sp = _ACT['sp_axis'] \
         if mesh.shape.get(_ACT['sp_axis'], 1) > 1 else None
-    if sp and x.shape[1] % mesh.shape[sp] != 0:
+    if sp and (x.ndim < 2 or x.shape[1] % mesh.shape[sp] != 0):
         sp = None
-    if kind == 'residual':
+    if kind == 'batch':
+        spec = P(batch)
+    elif kind == 'residual':
         spec = P(batch, sp)
     elif kind == 'heads':
         # attention wants full sequence per head group: seq replicated,
@@ -315,6 +330,9 @@ def shard_activation(x, kind: str):
             if head_axes and x.shape[-2] % mesh.shape[tp] != 0:
                 head_axes = ()
         spec = P(batch, None, head_axes or None, None)
+    elif kind == 'heads_seq':
+        head_tp = tp if (tp and x.shape[-2] % mesh.shape[tp] == 0) else None
+        spec = P(batch, sp, head_tp, None)
     elif kind == 'hidden':
         if tp and x.shape[-1] % mesh.shape[tp] != 0:
             tp = None

@@ -166,6 +166,128 @@ def build(num_layers, num_single_layers, latent=128, txt=512, k=16,
     return fn, args, model
 
 
+def build_qwen(num_layers, latent=128, txt=512, k=16, batch=1,
+               int8=False, w8a8=False):
+    """Qwen-Image geometry (reference arcqwen.py: 60 joint blocks, dim 3072,
+    joint_attention_dim 3584) with a REAL text key mask — the 2-NFE program
+    runs all blocks through the masked (segment-ids) flash-attention path."""
+    from arcflow_tpu.models import ArcQwenImageTransformer2DModel
+    from arcflow_tpu.diffusion import (ArcFlowPolicy, ContinuousTimeStepSampler,
+                                       momentum_integration)
+    model = ArcQwenImageTransformer2DModel(
+        patch_size=2, num_gaussians=k, in_channels=64,
+        num_layers=num_layers, attention_head_dim=128,
+        num_attention_heads=24, joint_attention_dim=3584,
+        checkpointing=False, dtype=jnp.bfloat16)
+    sampler = ContinuousTimeStepSampler(num_timesteps=1, shift=3.1)
+
+    b = batch
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    # per-sample text padding, like real Qwen2.5-VL prompt embeds
+    mask = (jnp.arange(txt)[None, :] <
+            jnp.full((b, 1), int(txt * 0.75))).astype(jnp.int32)
+    inputs = dict(
+        hidden_states=jax.random.normal(ks[0], (b, latent, latent, 16),
+                                        jnp.bfloat16),
+        encoder_hidden_states=jax.random.normal(ks[1], (b, txt, 3584),
+                                                jnp.bfloat16),
+        encoder_hidden_states_mask=mask)
+
+    def init_fn(rng):
+        p = model.init(rng, t=jnp.ones((b,)), **inputs)['params']
+        return jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
+
+    if int8:
+        from arcflow_tpu.utils.quantize import (quantize_weights_int8,
+                                                set_act_quant)
+        set_act_quant(w8a8)
+        t0 = time.perf_counter()
+        shapes = jax.eval_shape(init_fn, ks[3])
+        q_shapes, s_shapes = jax.eval_shape(quantize_weights_int8, shapes)
+
+        def _gen_leaf(key, sd):
+            if sd.dtype == jnp.int8:
+                v = jax.random.normal(key, sd.shape, jnp.bfloat16) * 40.0
+                return jnp.clip(jnp.round(v), -127, 127).astype(jnp.int8)
+            return (jax.random.normal(key, sd.shape, jnp.bfloat16) * 0.02
+                    ).astype(sd.dtype)
+
+        def gen(rng):
+            leaves, treedef = jax.tree.flatten(q_shapes)
+            keys = jax.random.split(rng, len(leaves))
+            qp = jax.tree.unflatten(
+                treedef, [_gen_leaf(kk, sd) for kk, sd in zip(keys, leaves)])
+            quant = jax.tree.map(
+                lambda sd: jnp.full(sd.shape, 2e-4, sd.dtype), s_shapes)
+            return {'params': qp, 'quant': quant}
+
+        log('generating int8 qwen weight tree on device...')
+        variables = jax.jit(gen)(ks[3])
+        jax.block_until_ready(variables)
+        log(f'int8 tree ready: {time.perf_counter() - t0:.1f}s')
+    else:
+        variables = {'params': jax.jit(init_fn)(ks[3])}
+        jax.block_until_ready(variables)
+
+    def sample_2nfe(variables, noise, txt_emb, txt_mask):
+        x = noise
+        raw = jnp.array([1.0, 0.5, 0.0])
+        for i in range(2):
+            raw_src = jnp.full((b,), raw[i])
+            sigma_src = sampler.warp_t(raw_src)
+            out = model.apply(variables, x, sigma_src,
+                              encoder_hidden_states=txt_emb,
+                              encoder_hidden_states_mask=txt_mask)
+            policy = ArcFlowPolicy.create(out, x, sigma_src)
+            sigma_dst = sampler.warp_t(jnp.full((b,), raw[i + 1]))
+            x = momentum_integration(policy, x, sigma_src,
+                                     sigma_dst).astype(jnp.bfloat16)
+        return x
+
+    fn = jax.jit(sample_2nfe, donate_argnums=(1,))
+    args = (variables, inputs['hidden_states'],
+            inputs['encoder_hidden_states'],
+            inputs['encoder_hidden_states_mask'])
+    return fn, args, model
+
+
+def try_bench_qwen(num_layers, iters=8, batch=1, int8=False, w8a8=False):
+    fn, args, model = build_qwen(num_layers, batch=batch, int8=int8,
+                                 w8a8=w8a8)
+    n_params = sum(x.size for x in jax.tree.leaves(args[0])
+                   if hasattr(x, 'size'))
+    log(f'qwen config: {num_layers} joint blocks, {n_params / 1e9:.2f}B '
+        f'params')
+    variables, noise, txt, mask = args
+    t0 = time.perf_counter()
+    out = fn(variables, noise, txt, mask)
+    _ = float(jnp.sum(out.astype(jnp.float32)))
+    log(f'compile+first run: {time.perf_counter() - t0:.1f}s')
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(variables, out, txt, mask)
+    _ = float(jnp.sum(out.astype(jnp.float32)))
+    per_image = (time.perf_counter() - t0) / iters / batch
+    return per_image, n_params
+
+
+def bench_qwen_vae_decode(latent=128, iters=4):
+    """Qwen (Wan image-mode) VAE decode cost at 1024px."""
+    from arcflow_tpu.models import PretrainedVAEQwenImage
+    vae = PretrainedVAEQwenImage(dtype='bfloat16')
+    params = jax.jit(vae.init_params, static_argnums=(1,))(
+        jax.random.PRNGKey(0), 64)
+    decode = jax.jit(lambda p, z: vae.decode(p, z))
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, latent, latent, 16))
+    img = decode(params, z)
+    _ = float(jnp.sum(img))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        img = decode(params, z)
+    _ = float(jnp.sum(img))
+    return (time.perf_counter() - t0) / iters
+
+
 def bench_vae_decode(latent=128, iters=4):
     """VAE decode cost at 1024px (flax AutoencoderKL decoder; random weights
     cost the same FLOPs as real ones)."""
@@ -316,6 +438,11 @@ def main():
                         '(10 DiT forwards + backward, clip, EMA) instead '
                         'of inference; largest full-width geometry that '
                         'fits one chip at 512px latents')
+    p.add_argument('--qwen', action='store_true',
+                   help='Qwen-Image geometry (60 joint blocks, dim 3072, '
+                        'masked joint attention on the segment-ids flash '
+                        'path): largest int8 depth that fits one chip, '
+                        'FLOP-scaled to the 20B full geometry')
     args_cli = p.parse_args()
 
     setup_jax()
@@ -356,6 +483,53 @@ def main():
                    f'measured on one chip)',
             value=round(1.0 / sec, 4), unit='steps/s/chip',
             vs_baseline=0.0)))
+        return
+
+    if args_cli.qwen:
+        # Qwen 20B: even int8 (20.4 GB) overflows one 16 GB chip, so measure
+        # the deepest int8 depth that fits and FLOP-scale to 60 blocks
+        # (every joint block is identical; embedders/heads are noise)
+        use_int8 = not args_cli.bf16
+        depths = [args_cli.layers] if args_cli.layers else \
+            ([44, 40, 36, 32] if use_int8 else [20, 16, 12])
+        for depth in depths:
+            try:
+                per_img, n_params = try_bench_qwen(
+                    depth, batch=args_cli.batch, int8=use_int8,
+                    w8a8=args_cli.w8a8)
+                break
+            except Exception as e:  # noqa: BLE001 - OOM fallback
+                log(f'qwen depth {depth} failed: {type(e).__name__}: '
+                    f'{str(e)[:200]}')
+        else:
+            print(json.dumps(dict(
+                metric='images/sec/chip 1024px 2-NFE Qwen', value=0.0,
+                unit='img/s', vs_baseline=0.0)))
+            return
+        try:
+            vae_decode_s = bench_qwen_vae_decode()
+            log(f'Qwen VAE decode (1024px): {vae_decode_s * 1000:.1f} ms')
+        except Exception as e:   # noqa: BLE001
+            log(f'Qwen VAE decode bench failed ({type(e).__name__})')
+            vae_decode_s = 0.0
+        e2e = per_img + vae_decode_s
+        ratio = 60.0 / depth
+        e2e_20b = per_img * ratio + vae_decode_s
+        target = 0.125
+        mode = ('w8a8' if args_cli.w8a8 else
+                'weight-only int8' if use_int8 else 'bf16')
+        metric = ('images/sec/chip, 1024px 2-NFE Qwen-Image e2e (ArcQwen '
+                  f'{depth}/60 joint blocks {n_params / 1e9:.2f}B params '
+                  f'{mode}, masked flash attention, + Wan VAE decode '
+                  f'{vae_decode_s * 1000:.0f}ms; 20B-geometry extrapolation '
+                  f'{1.0 / e2e_20b:.3f} img/s)')
+        log(f'qwen per-image: {per_img * 1000:.1f} ms; e2e: '
+            f'{e2e * 1000:.1f} ms; 20B extrapolated: '
+            f'{e2e_20b * 1000:.1f} ms')
+        print(json.dumps(dict(metric=metric, value=round(1.0 / e2e, 4),
+                              unit='img/s/chip',
+                              vs_baseline=round((1.0 / e2e_20b) / target,
+                                                3))))
         return
 
     mesh = None

@@ -1,0 +1,95 @@
+"""SPMD program-efficiency audits (VERDICT round-2 item 1d).
+
+Two guarantees about the multi-chip training program:
+  * the compile emits NO "Involuntary full rematerialization" warnings
+    (each one is a replicate-then-repartition — wasted all-gathers on the
+    hot path);
+  * total all-gather traffic in one train step stays bounded by a small
+    multiple of the parameter bytes (the FSDP unshard cost: forward +
+    backward re-gather, nothing else).
+"""
+
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+@pytest.mark.slow
+def test_multichip_compile_is_warning_free():
+    """Fresh-process dryrun (train + sharded inference) must not emit
+    spmd_partitioner involuntary-rematerialization warnings."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('XLA_FLAGS', 'JAX_PLATFORMS', 'JAX_NUM_CPU_DEVICES')}
+    r = subprocess.run(
+        [sys.executable, '-c',
+         'import __graft_entry__ as g; g.dryrun_multichip(8)'],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, f'stdout={r.stdout}\nstderr={r.stderr}'
+    assert 'train OK' in r.stdout and 'inference OK' in r.stdout
+    bad = [ln for ln in r.stderr.splitlines()
+           if 'Involuntary full rematerialization' in ln]
+    assert not bad, ('SPMD partitioner fell back to full remat '
+                     f'({len(bad)} ops):\n' + '\n'.join(bad[:5]))
+
+
+def test_train_step_all_gather_bytes_bounded():
+    """AOT-compile the tiny distillation step over an all-axes mesh and
+    bound its all-gather bytes against the parameter bytes."""
+    import __graft_entry__ as g
+    import optax
+    from arcflow_tpu.parallel import (audit_compiled, batch_axes,
+                                      set_activation_sharding, shard_batch,
+                                      shard_state, tree_bytes)
+    from arcflow_tpu.runner import EmaConfig, TrainState, build_train_step
+    import jax.numpy as jnp
+
+    mesh = g._make_dryrun_mesh(8, jax.devices()[:8])
+    set_activation_sharding(mesh)
+    try:
+        model = g._build_tiny_model()
+        trainable, frozen = model.init_params(jax.random.PRNGKey(0))
+        optimizers = {'diffusion': optax.adamw(1e-4)}
+        state = TrainState.create(jax.random.PRNGKey(1), trainable, frozen,
+                                  optimizers, ema_keys=model.ema_keys)
+        state, _ = shard_state(state, mesh, fsdp_axis='fsdp',
+                               tensor_axis='tensor', min_size=1024)
+        bs = 2 * int(np.prod([mesh.shape[a] for a in batch_axes(mesh)]))
+        ks = jax.random.split(jax.random.PRNGKey(2), 3)
+        batch = dict(
+            latents=jax.random.normal(ks[0], (bs, 8, 8, 64)),
+            prompt_embed_kwargs=dict(
+                encoder_hidden_states=jax.random.normal(ks[1], (bs, 8, 64)),
+                pooled_projections=jax.random.normal(ks[2], (bs, 32))),
+            negative_prompt_embed_kwargs=dict(
+                encoder_hidden_states=jnp.zeros((bs, 8, 64)),
+                pooled_projections=jnp.zeros((bs, 32))))
+        batch = shard_batch(batch, mesh, axis='data')
+        train_step = build_train_step(
+            model, optimizers, train_cfg=model.train_cfg,
+            ema_cfg=EmaConfig(momentum_policy='karras'), donate=False)
+        compiled = train_step.lower(state, batch).compile()
+    finally:
+        from arcflow_tpu.parallel import clear_activation_sharding
+        clear_activation_sharding()
+
+    stats = audit_compiled(compiled)['collectives']
+    param_bytes = tree_bytes(state.trainable) + tree_bytes(state.frozen)
+    ag = stats['all-gather']
+    assert ag['count'] > 0, 'FSDP program must all-gather sharded params'
+    # Per NFE step the trunk unshards once forward and once for the
+    # transposed (backward) pass, the teacher once per intermediate query;
+    # with nfe=2 and 2 intermediate states that is ~8 full unshards of the
+    # (shared) trunk. 12x param bytes leaves headroom without masking a
+    # replicate-then-repartition regression (which multiplies traffic by
+    # the mesh size, not a constant).
+    assert ag['bytes'] <= 12 * param_bytes, (
+        f"all-gather {ag['bytes'] / 1e6:.1f} MB vs params "
+        f"{param_bytes / 1e6:.1f} MB — SPMD resharding regression?"
+        f" full stats: {stats}")
