@@ -16,8 +16,17 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..registry import MODULES
+from .layers import LoRADense
 
 Array = jax.Array
+
+
+def _trunk_dense(width: int) -> LoRADense:
+    """fp32 LoRADense (rank 0 = plain Dense) for toy trunks: routing the toy
+    MLPs through the SAME kernel the production models use makes the
+    checkerboard stack a quality gate for the int8/w8a8 serving modes
+    (quantize_weights_int8 only applies to LoRADense-read kernels)."""
+    return LoRADense(width, dtype=jnp.float32)
 
 
 def timestep_embedding(t: Array, dim: int, max_period: float = 10000.0) -> Array:
@@ -65,7 +74,7 @@ class ToyMLPDenoiser(nn.Module):
         h = jnp.concatenate(
             [x_t, fourier_features(x_t, self.fourier_freqs), temb], axis=-1)
         for width in self.hidden:
-            h = nn.silu(nn.Dense(width)(h))
+            h = nn.silu(_trunk_dense(width)(h))
         return nn.Dense(self.out_channels)(h)
 
 
@@ -153,7 +162,7 @@ class ToyArcFlowDenoiser(nn.Module):
         h = jnp.concatenate(
             [x_t, fourier_features(x_t, self.fourier_freqs), temb], axis=-1)
         for width in self.hidden:
-            h = nn.silu(nn.Dense(width)(h))
+            h = nn.silu(_trunk_dense(width)(h))
 
         def gamma_bias_init(key, shape, dtype=jnp.float32):
             del key

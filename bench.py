@@ -385,6 +385,115 @@ def bench_train(layers, single_layers, latent=64, txt=512, batch=1, iters=6):
     return (time.perf_counter() - t0) / iters, n_params
 
 
+def bench_aot_12b(mesh_axes=None, batch_per_chip=1, latent=128, txt=512):
+    """12B training evidence without 12B hardware: AOT-compile the FULL
+    FLUX-12B FSDP distillation train step (tied teacher + ArcFlux student,
+    1024px latents, 2-NFE multi-step loss, optimizer + EMA) over a simulated
+    v5p-8 mesh ({data:2, fsdp:4}, the flagship _mesh_train.py layout) and
+    report the compiled program's per-chip memory + collective totals from
+    the optimized HLO. No parameters are materialized — ``.lower()`` runs on
+    ShapeDtypeStructs carrying the exact shardings ``shard_state`` computes.
+
+    The fit claim: per-chip (argument + temp) bytes must sit inside a v5p
+    chip's 95 GB HBM — the TPU analogue of the reference's measured
+    ~16 GB/GPU FSDP-8 number (BASELINE.md VRAM table).
+    """
+    import numpy as np
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from arcflow_tpu.models import LatentDiffusionTextImage
+    from arcflow_tpu.parallel import (audit_compiled, batch_axes, make_mesh,
+                                      param_spec_for,
+                                      set_activation_sharding, tree_bytes)
+    from arcflow_tpu.runner import EmaConfig, TrainState, build_train_step
+
+    mesh = make_mesh(dict(mesh_axes or {'data': 2, 'fsdp': 4}))
+    set_activation_sharding(mesh)
+    net = dict(in_channels=64, num_layers=19, num_single_layers=38,
+               attention_head_dim=128, num_attention_heads=24,
+               joint_attention_dim=4096, pooled_projection_dim=768,
+               guidance_embeds=True, checkpointing=True)
+    model = LatentDiffusionTextImage(
+        diffusion=dict(
+            type='ArcFlowImitationDataFree', policy_type='ArcFlow',
+            denoising=dict(type='ArcFluxTransformer2DModel', patch_size=2,
+                           num_gaussians=16, lora_rank=256, **net),
+            flow_loss=dict(type='DiffusionMSELoss',
+                           data_info=dict(pred='u_t_pred', target='u_t'),
+                           rescale_cfg=dict(scale=30.0)),
+            num_timesteps=1,
+            timestep_sampler=dict(type='ContinuousTimeStepSampler',
+                                  shift=3.2)),
+        teacher=dict(type='GaussianFlow',
+                     denoising=dict(type='FluxTransformer2DModel',
+                                    patch_size=2, **net),
+                     num_timesteps=1),
+        tie_teacher=True, frozen_dtype='bfloat16',
+        latent_shape=(latent, latent, 16), text_embed_dim=4096,
+        pooled_dim=768,
+        train_cfg=dict(nfe=2, timestep_ratio=1.0, total_substeps=128,
+                       num_intermediate_states=4, window_substeps=3,
+                       gm_dropout=0.1, num_decay_iters=100,
+                       distilled_guidance_scale=3.5,
+                       teacher_distilled_guidance_scale=3.5,
+                       teacher_guidance_scale=2.0,
+                       diffusion_grad_clip=50.0),
+        test_cfg=dict(nfe=2, timestep_ratio=1.0))
+
+    optimizers = {'diffusion': optax.adamw(1e-4)}
+    t0 = time.perf_counter()
+    trainable, frozen = jax.eval_shape(model.init_params,
+                                       jax.random.PRNGKey(0))
+    state = jax.eval_shape(
+        lambda t, f: TrainState.create(jax.random.PRNGKey(1), t, f,
+                                       optimizers, ema_keys=model.ema_keys),
+        trainable, frozen)
+    n_params = sum(x.size for x in jax.tree.leaves((trainable, frozen)))
+    log(f'abstract 12B state: {n_params / 1e9:.2f}B params '
+        f'({time.perf_counter() - t0:.1f}s)')
+
+    fsdp = mesh.shape.get('fsdp', 1)
+
+    def abstract(sd):
+        sh = NamedSharding(mesh, param_spec_for(sd, 'fsdp', fsdp))
+        return jax.ShapeDtypeStruct(sd.shape, sd.dtype, sharding=sh)
+
+    state_abs = jax.tree.map(abstract, state)
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    bs = batch_per_chip * n_dev
+    bsh = NamedSharding(mesh, P(tuple(batch_axes(mesh))))
+
+    def babs(shape, dtype=jnp.float32):
+        return jax.ShapeDtypeStruct(shape, dtype, sharding=bsh)
+
+    batch = dict(
+        latents=babs((bs, latent, latent, 16)),
+        prompt_embed_kwargs=dict(
+            encoder_hidden_states=babs((bs, txt, 4096)),
+            pooled_projections=babs((bs, 768))),
+        negative_prompt_embed_kwargs=dict(
+            encoder_hidden_states=babs((bs, txt, 4096)),
+            pooled_projections=babs((bs, 768))))
+
+    train_step = build_train_step(
+        model, optimizers, train_cfg=model.train_cfg,
+        ema_cfg=EmaConfig(momentum_policy='karras'), donate=True)
+    t0 = time.perf_counter()
+    lowered = train_step.lower(state_abs, batch)
+    log(f'lowered in {time.perf_counter() - t0:.1f}s; compiling...')
+    t0 = time.perf_counter()
+    compiled = lowered.compile()
+    log(f'compiled in {time.perf_counter() - t0:.1f}s')
+    stats = audit_compiled(compiled)
+    hlo = compiled.as_text()
+    remat_warnings = hlo.count('Involuntary full rematerialization')
+    state_bytes = tree_bytes(state)
+    return dict(mesh=dict(mesh.shape), n_params=n_params,
+                global_batch=bs, state_bytes=state_bytes,
+                collectives=stats['collectives'], memory=stats['memory'],
+                remat_warnings=remat_warnings)
+
+
 def try_bench(layers, single_layers, iters=8, mesh=None, batch=1,
               int8=False, w8a8=False):
     fn, args, model = build(layers, single_layers, mesh=mesh, batch=batch,
@@ -443,7 +552,43 @@ def main():
                         'masked joint attention on the segment-ids flash '
                         'path): largest int8 depth that fits one chip, '
                         'FLOP-scaled to the 20B full geometry')
+    p.add_argument('--aot-12b', action='store_true',
+                   help='with --train: AOT-compile the FULL 12B FSDP train '
+                        'step on a simulated v5p-8 CPU mesh and report '
+                        'per-chip memory + collective totals (no TPU '
+                        'needed); writes AOT_12B.json next to this script')
     args_cli = p.parse_args()
+
+    if args_cli.train and args_cli.aot_12b:
+        # simulated v5p-8: 8 CPU devices (env must be set before the first
+        # backend touch; the axon sitecustomize overrides JAX_PLATFORMS so
+        # the platform switch must go through jax.config)
+        os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
+                                   + ' --xla_force_host_platform_device_count=8')
+        jax.config.update('jax_platforms', 'cpu')
+        axes = None
+        if args_cli.mesh:
+            axes = {k: int(v) for k, v in
+                    (kv.split('=') for kv in args_cli.mesh.split(','))}
+        out = bench_aot_12b(mesh_axes=axes, batch_per_chip=args_cli.batch)
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            'AOT_12B.json')
+        with open(path, 'w') as f:
+            json.dump(out, f, indent=1)
+        log(f'wrote {path}')
+        mem = out['memory'] or {}
+        per_chip = (mem.get('argument_bytes', 0) + mem.get('temp_bytes', 0))
+        hbm = 95e9   # v5p HBM per chip
+        print(json.dumps(dict(
+            metric=f'per-chip bytes, 12B FSDP train step AOT-compiled on '
+                   f'simulated v5p-8 mesh {out["mesh"]} '
+                   f'({out["n_params"] / 1e9:.2f}B params, global batch '
+                   f'{out["global_batch"]}, 1024px; '
+                   f'{out["remat_warnings"]} remat warnings; '
+                   f'all-gather {out["collectives"]["all-gather"]["bytes"] / 1e9:.2f} GB)',
+            value=round(per_chip / 1e9, 3), unit='GB/chip',
+            vs_baseline=round(hbm / per_chip, 3) if per_chip else 0.0)))
+        return
 
     setup_jax()
     log(f'devices: {jax.devices()}')
