@@ -67,6 +67,8 @@ class IterBasedRunner:
 
     def run(self):
         import gc
+        import signal
+        import threading
         self.call_hook('before_run')
         self.logger.info(
             f'starting at iter {self._iter}, target {self.total_iters}')
@@ -74,8 +76,31 @@ class IterBasedRunner:
         if self.gc_interval:
             gc.collect()
             gc.disable()
+
+        # Preemption-safe training: TPU pods get SIGTERM'd. First signal
+        # finishes the in-flight iter, force-saves through the checkpoint
+        # hooks (after_run below), and exits cleanly — auto-resume then
+        # continues at the exact iter (reference's crash-relaunch-resume
+        # story, apis/train.py:158-164, made signal-driven). A second
+        # signal restores the default disposition so a stuck save can
+        # still be killed.
+        self._preempted = False
+        prev_handlers = {}
+
+        def _on_signal(signum, frame):
+            if self._preempted:
+                signal.signal(signum, signal.SIG_DFL)
+                signal.raise_signal(signum)
+            self._preempted = True
+            self.logger.warning(
+                f'signal {signum}: finishing current iter, saving '
+                f'checkpoint, exiting (signal again to force-kill)')
+
+        if threading.current_thread() is threading.main_thread():
+            for s in (signal.SIGTERM, signal.SIGINT):
+                prev_handlers[s] = signal.signal(s, _on_signal)
         try:
-            while self._iter < self.total_iters:
+            while self._iter < self.total_iters and not self._preempted:
                 with self.timers['data']:
                     batch = next(self.data_iter)
                     # host numpy -> device; already-placed arrays pass
@@ -94,7 +119,14 @@ class IterBasedRunner:
         finally:
             if self.gc_interval and gc_was_enabled:
                 gc.enable()
+            # CheckpointHook.after_run force-saves at the current iter and
+            # joins the async write — this is the preemption flush
             self.call_hook('after_run')
+            for s, h in prev_handlers.items():
+                signal.signal(s, h)
+        if self._preempted:
+            self.logger.warning(
+                f'preempted at iter {self._iter}; checkpoint flushed')
         return self.state
 
 

@@ -17,12 +17,16 @@ def parse_args():
                    help='do not auto-resume from the latest checkpoint')
     p.add_argument('--cfg-options', nargs='+', default=[],
                    help='dot-keyed config overrides, e.g. total_iters=100')
+    p.add_argument('--platform', default=None, choices=['cpu', 'tpu'],
+                   help='pin the jax platform (the launcher-side analogue '
+                        'of the reference init_dist backend choice); '
+                        'default: environment-selected')
     return p.parse_args()
 
 
 def main():
     args = parse_args()
-    setup_jax()
+    setup_jax(force_platform=args.platform)
     cfg = Config.fromfile(args.config)
     if args.cfg_options:
         overrides = {}
