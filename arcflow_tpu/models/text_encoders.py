@@ -109,10 +109,12 @@ class PretrainedQwenImageTextEncoder:
     """Qwen2.5-VL-7B prompt encoder (reference
     ``PretrainedQwenImageTextEncoder``, pretrained.py:194-238).
 
-    Runs the torch Qwen2.5-VL text tower on host CPU (no Flax port of the VL
-    stack exists) and ships the hidden states to device — acceptable because
-    prompt encoding is a per-batch preprocessing step the reference also
-    caches to disk (the 380 GB embed cache).
+    ``backend='flax'`` (default) runs the native flax Qwen2.5 decoder
+    (models/qwen_text.py) as one jitted XLA program on the accelerator —
+    prompt encoding stops being a host-CPU torch forward serialized against
+    the train step. ``backend='torch'`` keeps the transformers VL model on
+    host CPU (useful to cross-check, and for checkpoints the converter
+    cannot read).
     """
 
     PROMPT_TEMPLATE = (
@@ -124,14 +126,38 @@ class PretrainedQwenImageTextEncoder:
 
     def __init__(self, pretrained: str = 'Qwen/Qwen2.5-VL-7B-Instruct',
                  pad_seq_len: Optional[int] = 512, dtype: str = 'bfloat16',
-                 freeze: bool = True, **kwargs):
+                 freeze: bool = True, backend: str = 'flax', **kwargs):
         self.pretrained = pretrained
         self.pad_seq_len = pad_seq_len
         self.dtype_name = dtype
+        assert backend in ('flax', 'torch'), backend
+        self.backend = backend
         self._loaded = False
+
+    def _load_flax(self):
+        tf = _require_transformers()
+        from .qwen_text import load_qwen25_text_params
+        self.tokenizer = tf.AutoTokenizer.from_pretrained(self.pretrained)
+        dt = getattr(jnp, self.dtype_name)
+        self.model, params = load_qwen25_text_params(self.pretrained,
+                                                     dtype=dt)
+        # big kernels in compute dtype; norms/bias stay fp32
+        self.params = jax.tree.map(
+            lambda x: x.astype(dt) if x.ndim >= 2 else x, params)
+        model = self.model
+
+        @jax.jit
+        def encode(params, input_ids, attention_mask):
+            return model.apply({'params': params}, input_ids, attention_mask)
+
+        self._encode = encode
+        self._loaded = True
 
     def _load(self):
         if self._loaded:
+            return
+        if self.backend == 'flax':
+            self._load_flax()
             return
         tf = _require_transformers()
         import torch
@@ -159,6 +185,29 @@ class PretrainedQwenImageTextEncoder:
 
     def __call__(self, prompt: Sequence[str], **kwargs) -> Dict[str, Any]:
         self._load()
+        if self.backend == 'flax':
+            return self._call_flax(prompt)
+        return self._call_torch(prompt)
+
+    def _call_flax(self, prompt: Sequence[str]) -> Dict[str, Any]:
+        texts = [self.PROMPT_TEMPLATE.format(p) for p in prompt]
+        drop = self.PROMPT_TEMPLATE_DROP_IDX
+        # fixed-length padding: one compiled program per batch size instead
+        # of one per longest-prompt length
+        max_len = (self.pad_seq_len + drop if self.pad_seq_len is not None
+                   else 1024)
+        enc = self.tokenizer(texts, padding='max_length', max_length=max_len,
+                             truncation=True, return_tensors='np')
+        hidden = self._encode(self.params,
+                              jnp.asarray(enc['input_ids'], jnp.int32),
+                              jnp.asarray(enc['attention_mask'], jnp.int32))
+        hidden = hidden[:, drop:]
+        mask = jnp.asarray(enc['attention_mask'][:, drop:], jnp.int32)
+        return dict(
+            encoder_hidden_states=jnp.asarray(hidden, jnp.float32),
+            encoder_hidden_states_mask=mask)
+
+    def _call_torch(self, prompt: Sequence[str]) -> Dict[str, Any]:
         import torch
         texts = [self.PROMPT_TEMPLATE.format(p) for p in prompt]
         enc = self.tokenizer(texts, padding=True, return_tensors='pt')

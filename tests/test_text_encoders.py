@@ -142,10 +142,11 @@ def qwen_dir(tmp_path_factory, tok_dir):
 
 def test_qwen_text_encoder_contract(qwen_dir):
     """VL class resolution + template drop + pad_seq_len + mask contract
-    (reference pretrained.py:194-238)."""
+    (reference pretrained.py:194-238), torch backend."""
     from arcflow_tpu.models import PretrainedQwenImageTextEncoder
     enc = PretrainedQwenImageTextEncoder(pretrained=qwen_dir,
-                                         pad_seq_len=48, dtype='float32')
+                                         pad_seq_len=48, dtype='float32',
+                                         backend='torch')
     out = enc(PROMPTS)
     assert set(out) == {'encoder_hidden_states', 'encoder_hidden_states_mask'}
     h = np.asarray(out['encoder_hidden_states'])
@@ -155,3 +156,26 @@ def test_qwen_text_encoder_contract(qwen_dir):
     assert set(np.unique(m)) <= {0, 1}
     # the VL class (not the causal-LM fallback) must have loaded
     assert type(enc.model).__name__ == 'Qwen2_5_VLForConditionalGeneration'
+
+
+def test_qwen_flax_backend_matches_torch(qwen_dir):
+    """The native flax Qwen2.5 decoder (default backend) must reproduce the
+    torch VL model's hidden states at every valid token position."""
+    from arcflow_tpu.models import PretrainedQwenImageTextEncoder
+    kw = dict(pretrained=qwen_dir, pad_seq_len=48, dtype='float32')
+    out_t = PretrainedQwenImageTextEncoder(backend='torch', **kw)(PROMPTS)
+    enc_f = PretrainedQwenImageTextEncoder(**kw)   # flax is the default
+    assert enc_f.backend == 'flax'
+    out_f = enc_f(PROMPTS)
+
+    m_t = np.asarray(out_t['encoder_hidden_states_mask'])
+    m_f = np.asarray(out_f['encoder_hidden_states_mask'])
+    np.testing.assert_array_equal(m_t, m_f)
+    h_t = np.asarray(out_t['encoder_hidden_states'])
+    h_f = np.asarray(out_f['encoder_hidden_states'])
+    assert h_t.shape == h_f.shape == (2, 48, 32)
+    valid = m_t.astype(bool)
+    err = np.abs(h_t - h_f)[valid]
+    scale = np.abs(h_t[valid]).mean() + 1e-6
+    assert err.max() / scale < 5e-2, (err.max(), scale)
+    np.testing.assert_allclose(h_f[valid], h_t[valid], atol=1e-3, rtol=1e-2)
