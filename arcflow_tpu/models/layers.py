@@ -71,7 +71,19 @@ class LoRADense(nn.Module):
         in_features = x.shape[-1]
         kernel = self.param('kernel', self.kernel_init,
                             (in_features, self.features), self.param_dtype)
-        if kernel.dtype == jnp.int8:
+        if kernel.dtype == jnp.int4:
+            # weight-only int4 (utils/quantize.py quantize_weights_int4):
+            # HBM stores s4 packed; per-(input-group x out-channel) scales
+            # widen+rescale on the fly. Quarter the weight traffic of bf16 —
+            # the full Qwen-20B geometry fits one 16 GB chip.
+            scale = self.get_variable('quant', 'kernel_scale4')
+            g = scale.shape[-3]
+            kb = kernel.astype(self.dtype).reshape(
+                *kernel.shape[:-2], g, kernel.shape[-2] // g,
+                kernel.shape[-1])
+            kb = (kb * scale.astype(self.dtype)).reshape(kernel.shape)
+            y = jnp.dot(x.astype(self.dtype), kb)
+        elif kernel.dtype == jnp.int8:
             from ..utils.quantize import act_quant_active
             # int8 kernels (utils/quantize.py): per-output-channel scales
             # ride in the 'quant' collection (sliced per layer under nn.scan)

@@ -136,6 +136,19 @@ class ArcFluxPipeline:
         self.transformer_params = {'params': qp, 'quant': quant}
         set_act_quant(act_quant)   # trace-time global; set before jit traces
 
+    def quantize_int4(self, min_size: int = 2 ** 16,
+                      group_size: int = 128) -> None:
+        """Weight-only int4 with group-wise scales: quarter transformer HBM
+        (the FULL Qwen-20B geometry fits one 16 GB chip; the reference
+        needs 57 GB + CPU offload, README.md:69). Same adapter-surface
+        skip rules as int8; call AFTER ``load_arcflow_adapter``."""
+        from ..utils.quantize import quantize_weights_int4
+        assert 'params' not in self.transformer_params, 'already quantized'
+        qp, quant = quantize_weights_int4(self.transformer_params,
+                                          min_size=min_size,
+                                          group_size=group_size)
+        self.transformer_params = {'params': qp, 'quant': quant}
+
     # ---- inference ------------------------------------------------------------
     def encode_prompt(self, prompt: Sequence[str]) -> Dict[str, Array]:
         assert self.text_encoder is not None, \

@@ -83,16 +83,62 @@ def quantize_weights_int8(params: Dict, min_size: int = 2 ** 16
     return unflatten(out), unflatten(scales)
 
 
+def quantize_weights_int4(params: Dict, min_size: int = 2 ** 16,
+                          group_size: int = 128) -> Tuple[Dict, Dict]:
+    """(params) -> (params with big kernels as int4, 'quant' scale tree).
+
+    Weight-only int4 quarters weight HBM vs bf16 (the FULL Qwen-Image 20B
+    geometry fits one 16 GB chip; the reference needs 57 GB + CPU offload,
+    README.md:69). Per-(input-group x output-channel) symmetric scales —
+    plain per-channel int4 loses too much; group-wise holds the toy-stack
+    quality gate (tests/test_quantized_quality.py). XLA TPU stores s4
+    packed two-per-byte in HBM and fuses the widen+scale into the matmul's
+    operand read (same two-tier design as int8 above).
+
+    Scale layout for a kernel (..., in, out): (..., in/g, 1, out) stored
+    under 'kernel_scale4'; LoRADense reshapes (..., in/g, g, out) for the
+    dequant.
+    """
+    flat = flatten(params)
+    out, scales = {}, {}
+    for key, v in flat.items():
+        skip = (not key.endswith('.kernel')
+                or any(s in key for s in _SKIP_SUBSTRINGS)
+                or any(key.startswith(p) for p in _SKIP_PREFIXES)
+                or not hasattr(v, 'ndim') or v.ndim < 2
+                or v.size < min_size
+                or v.shape[-2] % group_size != 0)
+        if skip:
+            out[key] = v
+            continue
+        vf = jnp.asarray(v, jnp.float32)
+        lead = vf.shape[:-2]
+        g = vf.shape[-2] // group_size
+        vg = vf.reshape(*lead, g, group_size, vf.shape[-1])
+        absmax = jnp.max(jnp.abs(vg), axis=-2, keepdims=True)
+        scale = jnp.maximum(absmax, 1e-8) / 7.0
+        q = jnp.clip(jnp.round(vg / scale), -7, 7).astype(jnp.int4)
+        out[key] = q.reshape(vf.shape)
+        scales[key[:-len('.kernel')] + '.kernel_scale4'] = scale
+    return unflatten(out), unflatten(scales)
+
+
 def dequantize_weights(qparams: Dict, quant: Dict) -> Dict:
     """Inverse transform (testing / export)."""
     flat = flatten(qparams)
     sflat = flatten(quant)
     out = {}
     for key, v in flat.items():
-        skey = key[:-len('.kernel')] + '.kernel_scale' \
-            if key.endswith('.kernel') else None
-        if skey in sflat:
-            out[key] = v.astype(jnp.float32) * sflat[skey].astype(jnp.float32)
+        stem = key[:-len('.kernel')] if key.endswith('.kernel') else None
+        if stem is not None and stem + '.kernel_scale' in sflat:
+            scale = sflat[stem + '.kernel_scale']
+            out[key] = v.astype(jnp.float32) * scale.astype(jnp.float32)
+        elif stem is not None and stem + '.kernel_scale4' in sflat:
+            scale = sflat[stem + '.kernel_scale4']   # (..., g, 1, out)
+            g = scale.shape[-3]
+            vv = v.astype(jnp.float32).reshape(     # (..., g, group, out)
+                *v.shape[:-2], g, v.shape[-2] // g, v.shape[-1])
+            out[key] = (vv * scale.astype(jnp.float32)).reshape(v.shape)
         else:
             out[key] = v
     return unflatten(out)

@@ -38,7 +38,7 @@ def log(*a):
 
 
 def build(num_layers, num_single_layers, latent=128, txt=512, k=16,
-          mesh=None, batch=1, int8=False, w8a8=False):
+          mesh=None, batch=1, int8=False, w8a8=False, int4=False):
     from arcflow_tpu.models import ArcFluxTransformer2DModel
     from arcflow_tpu.diffusion import (ArcFlowPolicy, ContinuousTimeStepSampler,
                                        momentum_integration)
@@ -67,22 +67,27 @@ def build(num_layers, num_single_layers, latent=128, txt=512, k=16,
         # init keeps peak HBM at one fp32 param, not the whole fp32 tree
         return jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
 
-    if int8:
-        # int8 inference (production path: quantize_weights_int8 on converted
-        # real weights — tests/test_quantize.py covers that transform). The
-        # bench builds the quantized tree directly ON DEVICE: eval_shape
-        # through init+quantize yields the exact shapes/dtypes of the real
-        # transform with zero host compute, and random int8 kernels cost the
-        # same HBM + MXU as real ones (11.6 GB -> the full 12B geometry fits
-        # one 16 GB v5e).
-        from arcflow_tpu.utils.quantize import (quantize_weights_int8,
+    if int8 or int4:
+        # int8/int4 inference (production path: quantize_weights_int{8,4} on
+        # converted real weights — tests/test_quantize.py covers that
+        # transform). The bench builds the quantized tree directly ON
+        # DEVICE: eval_shape through init+quantize yields the exact
+        # shapes/dtypes of the real transform with zero host compute, and
+        # random quantized kernels cost the same HBM + MXU as real ones
+        # (int8: 11.6 GB; int4: 6.0 GB for the full 12B geometry).
+        from arcflow_tpu.utils.quantize import (quantize_weights_int4,
+                                                quantize_weights_int8,
                                                 set_act_quant)
         set_act_quant(w8a8)
         t0 = time.perf_counter()
         shapes = jax.eval_shape(init_fn, ks[3])
-        q_shapes, s_shapes = jax.eval_shape(quantize_weights_int8, shapes)
+        quant_fn = quantize_weights_int4 if int4 else quantize_weights_int8
+        q_shapes, s_shapes = jax.eval_shape(quant_fn, shapes)
 
         def _gen_leaf(key, sd):
+            if sd.dtype == jnp.int4:
+                v = jax.random.normal(key, sd.shape, jnp.bfloat16) * 2.5
+                return jnp.clip(jnp.round(v), -7, 7).astype(jnp.int4)
             if sd.dtype == jnp.int8:
                 v = jax.random.normal(key, sd.shape, jnp.bfloat16) * 40.0
                 return jnp.clip(jnp.round(v), -127, 127).astype(jnp.int8)
@@ -98,10 +103,11 @@ def build(num_layers, num_single_layers, latent=128, txt=512, k=16,
                 lambda sd: jnp.full(sd.shape, 2e-4, sd.dtype), s_shapes)
             return {'params': qp, 'quant': quant}
 
-        log('generating int8 weight tree on device...')
+        log(f'generating {"int4" if int4 else "int8"} weight tree '
+            f'on device...')
         variables = jax.jit(gen)(ks[3])
         jax.block_until_ready(variables)
-        log(f'int8 tree ready: {time.perf_counter() - t0:.1f}s')
+        log(f'quantized tree ready: {time.perf_counter() - t0:.1f}s')
 
         def sample_2nfe_q(variables, noise, txt_emb, pooled, guidance):
             x = noise
@@ -167,10 +173,13 @@ def build(num_layers, num_single_layers, latent=128, txt=512, k=16,
 
 
 def build_qwen(num_layers, latent=128, txt=512, k=16, batch=1,
-               int8=False, w8a8=False):
+               int8=False, w8a8=False, int4=False):
     """Qwen-Image geometry (reference arcqwen.py: 60 joint blocks, dim 3072,
     joint_attention_dim 3584) with a REAL text key mask — the 2-NFE program
-    runs all blocks through the masked (segment-ids) flash-attention path."""
+    runs all blocks through the masked (segment-ids) flash-attention path.
+
+    ``int4``: weight-only int4 (group-128 scales) — the FULL 20B geometry
+    fits one 16 GB chip (s4 packs 2/byte in HBM)."""
     from arcflow_tpu.models import ArcQwenImageTransformer2DModel
     from arcflow_tpu.diffusion import (ArcFlowPolicy, ContinuousTimeStepSampler,
                                        momentum_integration)
@@ -197,15 +206,20 @@ def build_qwen(num_layers, latent=128, txt=512, k=16, batch=1,
         p = model.init(rng, t=jnp.ones((b,)), **inputs)['params']
         return jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
 
-    if int8:
-        from arcflow_tpu.utils.quantize import (quantize_weights_int8,
+    if int8 or int4:
+        from arcflow_tpu.utils.quantize import (quantize_weights_int4,
+                                                quantize_weights_int8,
                                                 set_act_quant)
         set_act_quant(w8a8)
         t0 = time.perf_counter()
         shapes = jax.eval_shape(init_fn, ks[3])
-        q_shapes, s_shapes = jax.eval_shape(quantize_weights_int8, shapes)
+        quant_fn = quantize_weights_int4 if int4 else quantize_weights_int8
+        q_shapes, s_shapes = jax.eval_shape(quant_fn, shapes)
 
         def _gen_leaf(key, sd):
+            if sd.dtype == jnp.int4:
+                v = jax.random.normal(key, sd.shape, jnp.bfloat16) * 2.5
+                return jnp.clip(jnp.round(v), -7, 7).astype(jnp.int4)
             if sd.dtype == jnp.int8:
                 v = jax.random.normal(key, sd.shape, jnp.bfloat16) * 40.0
                 return jnp.clip(jnp.round(v), -127, 127).astype(jnp.int8)
@@ -221,10 +235,11 @@ def build_qwen(num_layers, latent=128, txt=512, k=16, batch=1,
                 lambda sd: jnp.full(sd.shape, 2e-4, sd.dtype), s_shapes)
             return {'params': qp, 'quant': quant}
 
-        log('generating int8 qwen weight tree on device...')
+        log(f'generating {"int4" if int4 else "int8"} qwen weight tree '
+            f'on device...')
         variables = jax.jit(gen)(ks[3])
         jax.block_until_ready(variables)
-        log(f'int8 tree ready: {time.perf_counter() - t0:.1f}s')
+        log(f'quantized tree ready: {time.perf_counter() - t0:.1f}s')
     else:
         variables = {'params': jax.jit(init_fn)(ks[3])}
         jax.block_until_ready(variables)
@@ -251,9 +266,10 @@ def build_qwen(num_layers, latent=128, txt=512, k=16, batch=1,
     return fn, args, model
 
 
-def try_bench_qwen(num_layers, iters=8, batch=1, int8=False, w8a8=False):
+def try_bench_qwen(num_layers, iters=8, batch=1, int8=False, w8a8=False,
+                   int4=False):
     fn, args, model = build_qwen(num_layers, batch=batch, int8=int8,
-                                 w8a8=w8a8)
+                                 w8a8=w8a8, int4=int4)
     n_params = sum(x.size for x in jax.tree.leaves(args[0])
                    if hasattr(x, 'size'))
     log(f'qwen config: {num_layers} joint blocks, {n_params / 1e9:.2f}B '
@@ -495,9 +511,9 @@ def bench_aot_12b(mesh_axes=None, batch_per_chip=1, latent=128, txt=512):
 
 
 def try_bench(layers, single_layers, iters=8, mesh=None, batch=1,
-              int8=False, w8a8=False):
+              int8=False, w8a8=False, int4=False):
     fn, args, model = build(layers, single_layers, mesh=mesh, batch=batch,
-                            int8=int8, w8a8=w8a8)
+                            int8=int8, w8a8=w8a8, int4=int4)
     n_params = sum(x.size for x in jax.tree.leaves(args[0])
                    if hasattr(x, 'size'))
     log(f'config: {layers} joint + {single_layers} single blocks, '
@@ -538,7 +554,11 @@ def main():
                         'rate (~1.7x bf16 ceiling on v5e)')
     p.add_argument('--int8', action='store_true',
                    help='weight-only int8 (the full 12B geometry fits one '
-                        'chip); this is the DEFAULT when no mode is given')
+                        'chip)')
+    p.add_argument('--int4', action='store_true',
+                   help='weight-only int4, group-128 scales (quarter '
+                        'weight HBM: full FLUX-12B in 6 GB, full Qwen-20B '
+                        'in 10.2 GB on one chip)')
     p.add_argument('--mesh', type=str, default=None,
                    help="explicit mesh, e.g. 'sp=4,tensor=2' for the "
                         'single-image latency (sequence-parallel) config')
@@ -631,21 +651,30 @@ def main():
         return
 
     if args_cli.qwen:
-        # Qwen 20B: even int8 (20.4 GB) overflows one 16 GB chip, so measure
-        # the deepest int8 depth that fits and FLOP-scale to 60 blocks
-        # (every joint block is identical; embedders/heads are noise)
+        # Qwen 20B: int8 (20.4 GB) overflows one 16 GB chip, but int4
+        # (10.2 GB, s4 packed in HBM) fits the FULL geometry — measure
+        # that first; fall back to the deepest int8 depth FLOP-scaled to
+        # 60 blocks (every joint block is identical; embedders/heads noise)
         use_int8 = not args_cli.bf16
-        depths = [args_cli.layers] if args_cli.layers else \
-            ([44, 40, 36, 32] if use_int8 else [20, 16, 12])
-        for depth in depths:
+        if args_cli.layers:
+            attempts = [(args_cli.layers, dict(int8=use_int8,
+                                               w8a8=args_cli.w8a8))]
+        elif args_cli.bf16:
+            attempts = [(d, dict()) for d in (20, 16, 12)]
+        elif args_cli.w8a8:
+            attempts = [(d, dict(int8=True, w8a8=True))
+                        for d in (44, 40, 36, 32)]
+        else:
+            attempts = [(60, dict(int4=True))] + \
+                [(d, dict(int8=True)) for d in (44, 40, 36, 32)]
+        for depth, mode_kw in attempts:
             try:
                 per_img, n_params = try_bench_qwen(
-                    depth, batch=args_cli.batch, int8=use_int8,
-                    w8a8=args_cli.w8a8)
+                    depth, batch=args_cli.batch, **mode_kw)
                 break
             except Exception as e:  # noqa: BLE001 - OOM fallback
-                log(f'qwen depth {depth} failed: {type(e).__name__}: '
-                    f'{str(e)[:200]}')
+                log(f'qwen depth {depth} {mode_kw} failed: '
+                    f'{type(e).__name__}: {str(e)[:200]}')
         else:
             print(json.dumps(dict(
                 metric='images/sec/chip 1024px 2-NFE Qwen', value=0.0,
@@ -661,13 +690,16 @@ def main():
         ratio = 60.0 / depth
         e2e_20b = per_img * ratio + vae_decode_s
         target = 0.125
-        mode = ('w8a8' if args_cli.w8a8 else
+        mode = ('weight-only int4 (group-128)' if mode_kw.get('int4') else
+                'w8a8' if args_cli.w8a8 else
                 'weight-only int8' if use_int8 else 'bf16')
+        geom = ('FULL 20B geometry MEASURED' if depth == 60 else
+                f'{depth}/60 joint blocks, 20B-geometry extrapolation '
+                f'{1.0 / e2e_20b:.3f} img/s')
         metric = ('images/sec/chip, 1024px 2-NFE Qwen-Image e2e (ArcQwen '
-                  f'{depth}/60 joint blocks {n_params / 1e9:.2f}B params '
-                  f'{mode}, masked flash attention, + Wan VAE decode '
-                  f'{vae_decode_s * 1000:.0f}ms; 20B-geometry extrapolation '
-                  f'{1.0 / e2e_20b:.3f} img/s)')
+                  f'{n_params / 1e9:.2f}B params {mode}, masked flash '
+                  f'attention, + Wan VAE decode '
+                  f'{vae_decode_s * 1000:.0f}ms; {geom})')
         log(f'qwen per-image: {per_img * 1000:.1f} ms; e2e: '
             f'{e2e * 1000:.1f} ms; 20B extrapolated: '
             f'{e2e_20b * 1000:.1f} ms')
@@ -680,7 +712,15 @@ def main():
     mesh = None
     use_int8 = (args_cli.int8 or args_cli.w8a8) or not (
         args_cli.bf16 or args_cli.sharded or args_cli.mesh
-        or args_cli.layers is not None)
+        or args_cli.int4 or args_cli.layers is not None)
+    # DEFAULT mode is w8a8: the only single-chip mode under the 1 s north
+    # star (981 ms vs 1139 ms weight-only), and its quality is now gated —
+    # tests/test_quantized_quality.py holds the trained toy student's
+    # in-support within 0.08 of fp32 through the same kernels, and
+    # tests/test_pipelines.py holds w8-only sampling at cos>0.99 vs bf16.
+    # --int8 selects weight-only int8 explicitly; --int4 weight-only int4.
+    if use_int8 and not args_cli.int8:
+        args_cli.w8a8 = True
     if args_cli.sharded or args_cli.mesh:
         from arcflow_tpu.parallel import make_mesh
         if args_cli.mesh:
@@ -697,6 +737,8 @@ def main():
         # ladder if anything in the int8 path fails
         configs = [(args_cli.layers or 19, args_cli.single or 38, True),
                    (8, 16, False), (6, 12, False), (4, 8, False)]
+    elif args_cli.int4:
+        configs = [(args_cli.layers or 19, args_cli.single or 38, False)]
     elif args_cli.layers is not None:
         configs = [(args_cli.layers, args_cli.single or args_cli.layers * 2,
                     False)]
@@ -710,7 +752,8 @@ def main():
             per_img, n_params = try_bench(layers, single, mesh=mesh,
                                           batch=args_cli.batch,
                                           int8=int8_mode,
-                                          w8a8=args_cli.w8a8 and int8_mode)
+                                          w8a8=args_cli.w8a8 and int8_mode,
+                                          int4=args_cli.int4)
             break
         except Exception as e:  # noqa: BLE001 - OOM fallback
             log(f'config ({layers},{single},int8={int8_mode}) failed: '
@@ -730,7 +773,10 @@ def main():
     e2e = per_img + vae_decode_s
     imgs_per_sec = 1.0 / e2e
     target = 0.125  # north star: <1 s e2e on v5p-8 => 0.125 img/s/chip
-    mode = ('int8 weights + int8 activations (w8a8)' if args_cli.w8a8
+    mode = ('int8 weights + int8 activations (w8a8; trained-student quality '
+            'gated within 0.08 in-support of fp32 by '
+            'tests/test_quantized_quality.py)' if args_cli.w8a8
+            else 'weight-only int4, group-128 scales' if args_cli.int4
             else 'weight-only int8, bf16 compute' if int8_mode else 'bf16')
     if (layers, single) == (19, 38):
         # the real thing: full 12B geometry, measured end to end

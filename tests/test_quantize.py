@@ -112,3 +112,60 @@ def test_quantize_preserves_adapter_surface_and_samples():
         pooled_projections=jax.random.normal(jax.random.PRNGKey(5), (1, 32)))
     out = pipe(prompt_embeds=embeds, height=64, width=64, seed=0)
     assert np.isfinite(np.asarray(out['latents'])).all()
+
+
+def test_int4_roundtrip_and_forward():
+    """Group-wise weight-only int4: bounded roundtrip error, faithful
+    forward, full Qwen-20B-on-one-chip mode (utils/quantize.py)."""
+    from arcflow_tpu.utils.quantize import quantize_weights_int4
+    model, params, inputs = _tiny_flux()
+    qparams, quant = quantize_weights_int4(params, min_size=1024,
+                                           group_size=32)
+    n_q = sum(int(getattr(v, 'dtype', None) == jnp.int4)
+              for v in flatten(qparams).values())
+    assert n_q > 10, 'expected the trunk kernels to quantize to int4'
+    deq = flatten(dequantize_weights(qparams, quant))
+    orig = flatten(params)
+    for k, v in flatten(qparams).items():
+        if getattr(v, 'dtype', None) == jnp.int4:
+            w = np.asarray(orig[k], np.float32)
+            g = 32
+            wg = w.reshape(*w.shape[:-2], w.shape[-2] // g, g, w.shape[-1])
+            bound = (np.abs(wg).max(axis=-2, keepdims=True) / 14 + 1e-6)
+            err = np.abs(np.asarray(deq[k]) - w).reshape(wg.shape)
+            assert (err <= bound * 1.01).all(), k
+
+    ref = np.asarray(model.apply({'params': params}, **inputs), np.float32)
+    got = np.asarray(model.apply({'params': qparams, 'quant': quant},
+                                 **inputs), np.float32)
+    assert np.isfinite(got).all()
+    cos = (got * ref).sum() / (np.linalg.norm(got) * np.linalg.norm(ref))
+    assert cos > 0.97, cos
+
+
+def test_pipeline_quantize_int4_samples():
+    from arcflow_tpu.models import ArcFluxTransformer2DModel
+    from arcflow_tpu.pipelines import ArcFluxPipeline
+    tiny = dict(in_channels=16, num_layers=2, num_single_layers=3,
+                attention_head_dim=32, num_attention_heads=4,
+                joint_attention_dim=64, pooled_projection_dim=32,
+                axes_dims_rope=(8, 12, 12), guidance_embeds=True,
+                checkpointing=False, lora_rank=4)
+    student = ArcFluxTransformer2DModel(num_gaussians=4, patch_size=2, **tiny)
+    inputs = dict(hidden_states=jnp.zeros((1, 8, 8, 4)), t=jnp.zeros((1,)),
+                  encoder_hidden_states=jnp.zeros((1, 6, 64)),
+                  pooled_projections=jnp.zeros((1, 32)),
+                  guidance=jnp.zeros((1,)))
+    params = student.init(jax.random.PRNGKey(0), **inputs)['params']
+    pipe = ArcFluxPipeline(student, params, nfe=2, guidance_scale=3.5)
+    pipe.quantize_int4(min_size=1024, group_size=32)
+    qflat = flatten(pipe.transformer_params['params'])
+    assert any(getattr(v, 'dtype', None) == jnp.int4 for v in qflat.values())
+    assert all(v.dtype == jnp.float32 for k, v in qflat.items()
+               if 'lora_' in k)
+    embeds = dict(
+        encoder_hidden_states=jax.random.normal(jax.random.PRNGKey(4),
+                                                (1, 6, 64)),
+        pooled_projections=jax.random.normal(jax.random.PRNGKey(5), (1, 32)))
+    out = pipe(prompt_embeds=embeds, height=64, width=64, seed=0)
+    assert np.isfinite(np.asarray(out['latents'])).all()

@@ -89,9 +89,19 @@ def test_quantized_serving_quality(distilled):
     finally:
         set_act_quant(False)
 
-    print(f'in-support: fp32 {base:.3f}, int8 {w8:.3f}, w8a8 {w8a8:.3f}')
+    # weight-only int4 (group-wise scales)
+    from arcflow_tpu.utils.quantize import quantize_weights_int4
+    qp4, quant4 = quantize_weights_int4(params, min_size=1024, group_size=32)
+    import jax.numpy as _jnp
+    assert any(getattr(x, 'dtype', None) == _jnp.int4
+               for x in jax.tree.leaves(qp4))
+    w4 = _in_support(_sample(model, {'params': qp4, 'quant': quant4}))
+
+    print(f'in-support: fp32 {base:.3f}, int8 {w8:.3f}, w8a8 {w8a8:.3f}, '
+          f'int4 {w4:.3f}')
     assert abs(base - w8) < 0.05, (base, w8)
     assert abs(base - w8a8) < 0.08, (base, w8a8)
+    assert abs(base - w4) < 0.10, (base, w4)
 
 
 def test_dequantize_roundtrip_on_trained_weights(distilled):
