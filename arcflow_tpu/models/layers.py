@@ -69,20 +69,31 @@ class LoRADense(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         in_features = x.shape[-1]
-        kernel = self.param('kernel', self.kernel_init,
-                            (in_features, self.features), self.param_dtype)
-        if kernel.dtype == jnp.int4:
+        if self.has_variable('quant', 'kernel_packed4'):
             # weight-only int4 (utils/quantize.py quantize_weights_int4):
-            # HBM stores s4 packed; per-(input-group x out-channel) scales
-            # widen+rescale on the fly. Quarter the weight traffic of bf16 —
-            # the full Qwen-20B geometry fits one 16 GB chip.
+            # two nibbles per int8 byte in HBM, sign-extending shift/mask
+            # unpack + per-(input-group x out-channel) rescale in-graph.
+            # Quarter the weight traffic of bf16 — the full Qwen-20B
+            # geometry fits one 16 GB chip. The packed tensor lives in the
+            # 'quant' collection (its shape is (in/2, out), which flax's
+            # param-shape validation would reject under 'kernel'); no
+            # 'kernel' param exists in this mode.
+            from ..utils.quantize import unpack_int4
+            packed = self.get_variable('quant', 'kernel_packed4')
             scale = self.get_variable('quant', 'kernel_scale4')
+            kq = unpack_int4(packed)                  # (..., in, out) int8
             g = scale.shape[-3]
-            kb = kernel.astype(self.dtype).reshape(
-                *kernel.shape[:-2], g, kernel.shape[-2] // g,
-                kernel.shape[-1])
-            kb = (kb * scale.astype(self.dtype)).reshape(kernel.shape)
+            kb = kq.astype(self.dtype).reshape(
+                *kq.shape[:-2], g, kq.shape[-2] // g, kq.shape[-1])
+            kb = (kb * scale.astype(self.dtype)).reshape(kq.shape)
             y = jnp.dot(x.astype(self.dtype), kb)
+            kernel = None
+        else:
+            kernel = self.param('kernel', self.kernel_init,
+                                (in_features, self.features),
+                                self.param_dtype)
+        if kernel is None:
+            pass
         elif kernel.dtype == jnp.int8:
             from ..utils.quantize import act_quant_active
             # int8 kernels (utils/quantize.py): per-output-channel scales

@@ -83,31 +83,56 @@ def quantize_weights_int8(params: Dict, min_size: int = 2 ** 16
     return unflatten(out), unflatten(scales)
 
 
+def pack_int4(q):
+    """int values in [-7, 7], (..., in, out) -> int8 (..., in/2, out) with
+    consecutive input rows in the (low, high) nibbles of one byte."""
+    q = q.astype(jnp.int8)
+    lo = q[..., 0::2, :]
+    hi = q[..., 1::2, :]
+    return jnp.bitwise_or(jnp.left_shift(hi, 4),
+                          jnp.bitwise_and(lo, jnp.int8(0x0F)))
+
+
+def unpack_int4(packed):
+    """Inverse of :func:`pack_int4`: int8 (..., in/2, out) -> sign-extended
+    int8 values (..., in, out). Arithmetic shifts restore each nibble's
+    sign."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+    hi = jnp.right_shift(packed, 4)
+    return jnp.stack([lo, hi], axis=-2).reshape(
+        *packed.shape[:-2], packed.shape[-2] * 2, packed.shape[-1])
+
+
 def quantize_weights_int4(params: Dict, min_size: int = 2 ** 16,
                           group_size: int = 128) -> Tuple[Dict, Dict]:
-    """(params) -> (params with big kernels as int4, 'quant' scale tree).
+    """(params) -> (big kernels nibble-packed two-per-int8-byte, 'quant'
+    scale tree under 'kernel_scale4').
 
     Weight-only int4 quarters weight HBM vs bf16 (the FULL Qwen-Image 20B
     geometry fits one 16 GB chip; the reference needs 57 GB + CPU offload,
     README.md:69). Per-(input-group x output-channel) symmetric scales —
     plain per-channel int4 loses too much; group-wise holds the toy-stack
-    quality gate (tests/test_quantized_quality.py). XLA TPU stores s4
-    packed two-per-byte in HBM and fuses the widen+scale into the matmul's
-    operand read (same two-tier design as int8 above).
+    quality gate (tests/test_quantized_quality.py). Packing is explicit
+    int8 nibbles rather than the s4 dtype: s4 jit arguments break on the
+    tunneled (axon) backend, and the nibble shift/mask unpack is fusible
+    arithmetic on any backend.
 
-    Scale layout for a kernel (..., in, out): (..., in/g, 1, out) stored
-    under 'kernel_scale4'; LoRADense reshapes (..., in/g, g, out) for the
-    dequant.
+    Scale layout for a kernel (..., in, out): (..., in/g, 1, out); the
+    packed kernel is (..., in/2, out) int8. Both live in the 'quant'
+    collection ('kernel_packed4' / 'kernel_scale4') and the kernel leaf is
+    REMOVED from params — flax validates param shapes on apply, so the
+    half-row packed tensor cannot sit under the 'kernel' name; LoRADense
+    skips ``self.param('kernel')`` when 'kernel_packed4' is present.
     """
     flat = flatten(params)
-    out, scales = {}, {}
+    out, quant = {}, {}
     for key, v in flat.items():
         skip = (not key.endswith('.kernel')
                 or any(s in key for s in _SKIP_SUBSTRINGS)
                 or any(key.startswith(p) for p in _SKIP_PREFIXES)
                 or not hasattr(v, 'ndim') or v.ndim < 2
                 or v.size < min_size
-                or v.shape[-2] % group_size != 0)
+                or v.shape[-2] % group_size != 0 or group_size % 2)
         if skip:
             out[key] = v
             continue
@@ -117,10 +142,11 @@ def quantize_weights_int4(params: Dict, min_size: int = 2 ** 16,
         vg = vf.reshape(*lead, g, group_size, vf.shape[-1])
         absmax = jnp.max(jnp.abs(vg), axis=-2, keepdims=True)
         scale = jnp.maximum(absmax, 1e-8) / 7.0
-        q = jnp.clip(jnp.round(vg / scale), -7, 7).astype(jnp.int4)
-        out[key] = q.reshape(vf.shape)
-        scales[key[:-len('.kernel')] + '.kernel_scale4'] = scale
-    return unflatten(out), unflatten(scales)
+        q = jnp.clip(jnp.round(vg / scale), -7, 7).reshape(vf.shape)
+        stem = key[:-len('.kernel')]
+        quant[stem + '.kernel_packed4'] = pack_int4(q)
+        quant[stem + '.kernel_scale4'] = scale
+    return unflatten(out), unflatten(quant)
 
 
 def dequantize_weights(qparams: Dict, quant: Dict) -> Dict:
@@ -133,12 +159,18 @@ def dequantize_weights(qparams: Dict, quant: Dict) -> Dict:
         if stem is not None and stem + '.kernel_scale' in sflat:
             scale = sflat[stem + '.kernel_scale']
             out[key] = v.astype(jnp.float32) * scale.astype(jnp.float32)
-        elif stem is not None and stem + '.kernel_scale4' in sflat:
-            scale = sflat[stem + '.kernel_scale4']   # (..., g, 1, out)
-            g = scale.shape[-3]
-            vv = v.astype(jnp.float32).reshape(     # (..., g, group, out)
-                *v.shape[:-2], g, v.shape[-2] // g, v.shape[-1])
-            out[key] = (vv * scale.astype(jnp.float32)).reshape(v.shape)
         else:
             out[key] = v
+    # int4 kernels live entirely in the quant tree
+    for skey, packed in sflat.items():
+        if not skey.endswith('.kernel_packed4'):
+            continue
+        stem = skey[:-len('.kernel_packed4')]
+        scale = sflat[stem + '.kernel_scale4']       # (..., g, 1, out)
+        vq = unpack_int4(packed).astype(jnp.float32)  # (..., in, out)
+        g = scale.shape[-3]
+        vv = vq.reshape(                              # (..., g, group, out)
+            *vq.shape[:-2], g, vq.shape[-2] // g, vq.shape[-1])
+        out[stem + '.kernel'] = (vv * scale.astype(jnp.float32)
+                                 ).reshape(vq.shape)
     return unflatten(out)

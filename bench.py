@@ -96,11 +96,18 @@ def build(num_layers, num_single_layers, latent=128, txt=512, k=16,
 
         def gen(rng):
             leaves, treedef = jax.tree.flatten(q_shapes)
-            keys = jax.random.split(rng, len(leaves))
+            qleaves, qtreedef = jax.tree.flatten(s_shapes)
+            keys = jax.random.split(rng, len(leaves) + len(qleaves))
             qp = jax.tree.unflatten(
                 treedef, [_gen_leaf(kk, sd) for kk, sd in zip(keys, leaves)])
-            quant = jax.tree.map(
-                lambda sd: jnp.full(sd.shape, 2e-4, sd.dtype), s_shapes)
+            # int4 mode keeps the nibble-packed kernels in the quant tree:
+            # random bytes there (two random nibbles each); float leaves
+            # are scales
+            quant = jax.tree.unflatten(qtreedef, [
+                jax.random.randint(kk, sd.shape, -128, 128, jnp.int8)
+                if sd.dtype == jnp.int8
+                else jnp.full(sd.shape, 2e-4, sd.dtype)
+                for kk, sd in zip(keys[len(leaves):], qleaves)])
             return {'params': qp, 'quant': quant}
 
         log(f'generating {"int4" if int4 else "int8"} weight tree '
@@ -228,11 +235,18 @@ def build_qwen(num_layers, latent=128, txt=512, k=16, batch=1,
 
         def gen(rng):
             leaves, treedef = jax.tree.flatten(q_shapes)
-            keys = jax.random.split(rng, len(leaves))
+            qleaves, qtreedef = jax.tree.flatten(s_shapes)
+            keys = jax.random.split(rng, len(leaves) + len(qleaves))
             qp = jax.tree.unflatten(
                 treedef, [_gen_leaf(kk, sd) for kk, sd in zip(keys, leaves)])
-            quant = jax.tree.map(
-                lambda sd: jnp.full(sd.shape, 2e-4, sd.dtype), s_shapes)
+            # int4 mode keeps the nibble-packed kernels in the quant tree:
+            # random bytes there (two random nibbles each); float leaves
+            # are scales
+            quant = jax.tree.unflatten(qtreedef, [
+                jax.random.randint(kk, sd.shape, -128, 128, jnp.int8)
+                if sd.dtype == jnp.int8
+                else jnp.full(sd.shape, 2e-4, sd.dtype)
+                for kk, sd in zip(keys[len(leaves):], qleaves)])
             return {'params': qp, 'quant': quant}
 
         log(f'generating {"int4" if int4 else "int8"} qwen weight tree '

@@ -115,25 +115,31 @@ def test_quantize_preserves_adapter_surface_and_samples():
 
 
 def test_int4_roundtrip_and_forward():
-    """Group-wise weight-only int4: bounded roundtrip error, faithful
-    forward, full Qwen-20B-on-one-chip mode (utils/quantize.py)."""
+    """Group-wise weight-only int4 (nibble-packed int8): bounded roundtrip
+    error, faithful forward, full Qwen-20B-on-one-chip mode."""
     from arcflow_tpu.utils.quantize import quantize_weights_int4
     model, params, inputs = _tiny_flux()
     qparams, quant = quantize_weights_int4(params, min_size=1024,
                                            group_size=32)
-    n_q = sum(int(getattr(v, 'dtype', None) == jnp.int4)
-              for v in flatten(qparams).values())
-    assert n_q > 10, 'expected the trunk kernels to quantize to int4'
+    packed_keys = [k for k in flatten(quant) if k.endswith('.kernel_packed4')]
+    assert len(packed_keys) > 10, 'expected the trunk kernels to pack'
+    # packed kernels leave params (flax would reject the half-row shape)
+    qflat = flatten(qparams)
+    for pk in packed_keys:
+        stem = pk[:-len('.kernel_packed4')]
+        assert stem + '.kernel' not in qflat
+        assert flatten(quant)[pk].dtype == jnp.int8
     deq = flatten(dequantize_weights(qparams, quant))
     orig = flatten(params)
-    for k, v in flatten(qparams).items():
-        if getattr(v, 'dtype', None) == jnp.int4:
-            w = np.asarray(orig[k], np.float32)
-            g = 32
-            wg = w.reshape(*w.shape[:-2], w.shape[-2] // g, g, w.shape[-1])
-            bound = (np.abs(wg).max(axis=-2, keepdims=True) / 14 + 1e-6)
-            err = np.abs(np.asarray(deq[k]) - w).reshape(wg.shape)
-            assert (err <= bound * 1.01).all(), k
+    assert set(deq) == set(orig)
+    for pk in packed_keys:
+        k = pk[:-len('.kernel_packed4')] + '.kernel'
+        w = np.asarray(orig[k], np.float32)
+        g = 32
+        wg = w.reshape(*w.shape[:-2], w.shape[-2] // g, g, w.shape[-1])
+        bound = (np.abs(wg).max(axis=-2, keepdims=True) / 14 + 1e-6)
+        err = np.abs(np.asarray(deq[k]) - w).reshape(wg.shape)
+        assert (err <= bound * 1.01).all(), k
 
     ref = np.asarray(model.apply({'params': params}, **inputs), np.float32)
     got = np.asarray(model.apply({'params': qparams, 'quant': quant},
@@ -160,7 +166,8 @@ def test_pipeline_quantize_int4_samples():
     pipe = ArcFluxPipeline(student, params, nfe=2, guidance_scale=3.5)
     pipe.quantize_int4(min_size=1024, group_size=32)
     qflat = flatten(pipe.transformer_params['params'])
-    assert any(getattr(v, 'dtype', None) == jnp.int4 for v in qflat.values())
+    sflat = flatten(pipe.transformer_params['quant'])
+    assert any(k.endswith('.kernel_packed4') for k in sflat)
     assert all(v.dtype == jnp.float32 for k, v in qflat.items()
                if 'lora_' in k)
     embeds = dict(

@@ -89,12 +89,11 @@ def test_quantized_serving_quality(distilled):
     finally:
         set_act_quant(False)
 
-    # weight-only int4 (group-wise scales)
+    # weight-only int4 (group-wise scales, nibble-packed)
+    from arcflow_tpu.utils.pytree import flatten as _flat
     from arcflow_tpu.utils.quantize import quantize_weights_int4
     qp4, quant4 = quantize_weights_int4(params, min_size=1024, group_size=32)
-    import jax.numpy as _jnp
-    assert any(getattr(x, 'dtype', None) == _jnp.int4
-               for x in jax.tree.leaves(qp4))
+    assert any(k.endswith('.kernel_packed4') for k in _flat(quant4))
     w4 = _in_support(_sample(model, {'params': qp4, 'quant': quant4}))
 
     print(f'in-support: fp32 {base:.3f}, int8 {w8:.3f}, w8a8 {w8a8:.3f}, '
