@@ -78,15 +78,27 @@ class LoRADense(nn.Module):
             # 'quant' collection (its shape is (in/2, out), which flax's
             # param-shape validation would reject under 'kernel'); no
             # 'kernel' param exists in this mode.
-            from ..utils.quantize import unpack_int4
             packed = self.get_variable('quant', 'kernel_packed4')
             scale = self.get_variable('quant', 'kernel_scale4')
-            kq = unpack_int4(packed)                  # (..., in, out) int8
-            g = scale.shape[-3]
-            kb = kq.astype(self.dtype).reshape(
-                *kq.shape[:-2], g, kq.shape[-2] // g, kq.shape[-1])
-            kb = (kb * scale.astype(self.dtype)).reshape(kq.shape)
-            y = jnp.dot(x.astype(self.dtype), kb)
+            # Two half-size dots instead of unpack-interleave-dot: the
+            # row-interleave (stack+reshape) blocks XLA from fusing the
+            # dequant into the dot's operand read, materializing the full
+            # bf16 kernel per matmul. Splitting the activation rows by
+            # parity keeps each dequant a pure elementwise chain
+            # (shift -> convert -> broadcast-scale multiply) on the packed
+            # buffer, which does fuse. Packing puts row 2r in the low
+            # nibble and 2r+1 in the high nibble of packed row r.
+            pg = packed.shape[-2] // scale.shape[-3]   # packed rows/group
+            sc = jnp.broadcast_to(
+                scale.astype(self.dtype),
+                (*scale.shape[:-2], pg, scale.shape[-1])
+            ).reshape(*packed.shape[:-2], packed.shape[-2],
+                      packed.shape[-1])
+            lo = jnp.right_shift(jnp.left_shift(packed, 4), 4
+                                 ).astype(self.dtype) * sc
+            hi = jnp.right_shift(packed, 4).astype(self.dtype) * sc
+            xd = x.astype(self.dtype)
+            y = jnp.dot(xd[..., 0::2], lo) + jnp.dot(xd[..., 1::2], hi)
             kernel = None
         else:
             kernel = self.param('kernel', self.kernel_init,

@@ -14,12 +14,17 @@ target is <1 s end-to-end on v5p-8, i.e. 0.125 images/sec/chip —
 cost at 2 NFE; VAE decode will be added to the e2e figure when the VAE lands.
 
 Default mode measures the FULL 12B FLUX geometry (19 joint + 38 single
-blocks) on one chip with weight-only int8 kernels (11.6 GB, fits 16 GB HBM)
-— a measured number, not an extrapolation. `--w8a8` additionally runs the
-big matmuls at the MXU int8 rate via dynamic per-token activation quant;
-`--bf16` falls back to the largest bf16 truncated geometry that fits plus a
-disclosed FLOP-scaling extrapolation; `--sharded/--mesh` runs the bf16 12B
-geometry over a device mesh (fsdp/tensor/sp axes) on multi-chip hosts.
+blocks) on one chip under w8a8 (int8 weights + dynamic per-token int8
+activations at the MXU int8 rate) — the mode that meets the <1 s north
+star, quality-gated by tests/test_quantized_quality.py. Other modes:
+`--int8` weight-only int8 (bf16 compute); `--int4` weight-only int4
+(nibble-packed, group-128 scales — the capacity mode); `--bf16` largest
+truncated bf16 geometry + disclosed FLOP-scaling; `--qwen` the Qwen-Image
+family (FULL 20B geometry in int4 on one chip, int8 depth-ladder
+fallback); `--sharded/--mesh` the 12B geometry over a device mesh
+(fsdp/tensor/sp axes) on multi-chip hosts; `--train` the distillation
+optimizer step; `--train --aot-12b` the simulated-v5p-8 12B FSDP
+compile audit (AOT_12B.json).
 """
 
 import json
@@ -280,12 +285,27 @@ def build_qwen(num_layers, latent=128, txt=512, k=16, batch=1,
     return fn, args, model
 
 
+def count_logical_params(variables) -> int:
+    """Model-parameter count for a (possibly quantized) variables tree:
+    nibble-packed int4 kernels hold two parameters per stored element;
+    scale tensors are quantization metadata, not parameters."""
+    from arcflow_tpu.utils.pytree import flatten
+    if isinstance(variables, dict) and 'quant' in variables:
+        n = sum(x.size for x in jax.tree.leaves(variables['params'])
+                if hasattr(x, 'size'))
+        for k, v in flatten(variables['quant']).items():
+            if k.endswith('.kernel_packed4'):
+                n += v.size * 2
+        return n
+    return sum(x.size for x in jax.tree.leaves(variables)
+               if hasattr(x, 'size'))
+
+
 def try_bench_qwen(num_layers, iters=8, batch=1, int8=False, w8a8=False,
                    int4=False):
     fn, args, model = build_qwen(num_layers, batch=batch, int8=int8,
                                  w8a8=w8a8, int4=int4)
-    n_params = sum(x.size for x in jax.tree.leaves(args[0])
-                   if hasattr(x, 'size'))
+    n_params = count_logical_params(args[0])
     log(f'qwen config: {num_layers} joint blocks, {n_params / 1e9:.2f}B '
         f'params')
     variables, noise, txt, mask = args
@@ -528,8 +548,7 @@ def try_bench(layers, single_layers, iters=8, mesh=None, batch=1,
               int8=False, w8a8=False, int4=False):
     fn, args, model = build(layers, single_layers, mesh=mesh, batch=batch,
                             int8=int8, w8a8=w8a8, int4=int4)
-    n_params = sum(x.size for x in jax.tree.leaves(args[0])
-                   if hasattr(x, 'size'))
+    n_params = count_logical_params(args[0])
     log(f'config: {layers} joint + {single_layers} single blocks, '
         f'{n_params / 1e9:.2f}B params')
     params, noise, txt, pooled, g = args
