@@ -43,6 +43,84 @@ def timestep_sinusoidal(t: Array, dim: int, max_period: float = 10000.0,
     return emb
 
 
+def _int4_matmul(x: Array, packed: Array, scale: Array, dtype) -> Array:
+    """x @ dequant(packed int4) for the group-local half-split layout
+    (utils/quantize.pack_int4): within each scale group of ``2*ph`` input
+    rows, the first ``ph`` rows sit in the low nibbles and the second
+    ``ph`` in the high nibbles of ``ph`` packed rows.
+
+    Two modes, both keeping the nibble unpack a fusible elementwise chain
+    on the packed buffer (an unpack-interleave would materialize the full
+    dequantized kernel per matmul — measured 45% slower e2e on Qwen-20B):
+
+      * weight-only (default): two bf16 dots over the nibble halves,
+        ``y = x_lo . deq(lo) + x_hi . deq(hi)`` with contiguous activation
+        slices.
+      * w4a8 (``act_quant_active()``): per-token int8 activations and ONE
+        K=group int8 x int8 -> int32 dot per scale group — the MXU int8
+        rate on int4-resident weights. Group-wise scales cannot fold into
+        a single int8 dot (they vary along the contraction), hence the
+        per-group structure; contiguity of every slice is what the
+        half-split layout is for. On TPU this runs the Pallas grouped
+        matmul (ops/quant_matmul.py) whose fp32 accumulator lives in
+        VMEM; the XLA fori_loop below is the portable fallback (same
+        numerics, but it streams the accumulator through HBM per group —
+        measured 4x slower on the full Qwen geometry).
+    """
+    from ..utils.quantize import act_quant_active
+    G = scale.shape[-3]
+    ph = packed.shape[-2] // G          # packed rows per group
+    out = packed.shape[-1]
+    if act_quant_active() and packed.ndim == 2:
+        x32 = x.astype(jnp.float32)
+        xs = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True),
+                         1e-8) / 127.0
+        xq = jnp.clip(jnp.round(x32 / xs), -127, 127).astype(jnp.int8)
+        sc2 = scale.astype(jnp.float32)[:, 0, :]     # (G, out)
+
+        from ..ops.quant_matmul import (pick_block_m, w4a8_matmul_pallas,
+                                        w4a8_ok)
+        if w4a8_ok(x, packed, scale):
+            m = 1
+            for d in x.shape[:-1]:
+                m *= d
+            mp = (m + 511) // 512 * 512
+            xq2 = xq.reshape(m, x.shape[-1])
+            if mp != m:
+                xq2 = jnp.pad(xq2, ((0, mp - m), (0, 0)))
+            y = w4a8_matmul_pallas(xq2, packed, sc2,
+                                   block_m=pick_block_m(mp))
+            y = y[:m].reshape(*x.shape[:-1], out)
+            return (y * xs).astype(dtype)
+
+        def body(g, acc):
+            pk = jax.lax.dynamic_slice_in_dim(packed, g * ph, ph, axis=0)
+            wlo = jnp.right_shift(jnp.left_shift(pk, 4), 4)
+            whi = jnp.right_shift(pk, 4)
+            xg = jax.lax.dynamic_slice_in_dim(xq, g * 2 * ph, 2 * ph,
+                                              axis=-1)
+            cd = lambda a, w: jax.lax.dot_general(
+                a, w, (((a.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            p = cd(xg[..., :ph], wlo) + cd(xg[..., ph:], whi)
+            sg = jax.lax.dynamic_slice_in_dim(sc2, g, 1, axis=0)[0]
+            return acc + p.astype(jnp.float32) * sg
+
+        acc = jax.lax.fori_loop(
+            0, G, body, jnp.zeros((*x.shape[:-1], out), jnp.float32))
+        return (acc * xs).astype(dtype)
+    # weight-only: dequant fuses into the dots' operand reads
+    sc = jnp.broadcast_to(
+        scale.astype(dtype), (*scale.shape[:-2], ph, out)
+    ).reshape(*packed.shape[:-2], G * ph, out)
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4).astype(dtype) * sc
+    hi = jnp.right_shift(packed, 4).astype(dtype) * sc
+    xr = x.astype(dtype).reshape(*x.shape[:-1], G, 2, ph)
+    x_lo = xr[..., 0, :].reshape(*x.shape[:-1], G * ph)
+    x_hi = xr[..., 1, :].reshape(*x.shape[:-1], G * ph)
+    return jnp.dot(x_lo, lo) + jnp.dot(x_hi, hi)
+
+
 class LoRADense(nn.Module):
     """Dense with optional low-rank adapter: y = x W + b + (alpha/r) (x A) B.
 
@@ -80,25 +158,7 @@ class LoRADense(nn.Module):
             # 'kernel' param exists in this mode.
             packed = self.get_variable('quant', 'kernel_packed4')
             scale = self.get_variable('quant', 'kernel_scale4')
-            # Two half-size dots instead of unpack-interleave-dot: the
-            # row-interleave (stack+reshape) blocks XLA from fusing the
-            # dequant into the dot's operand read, materializing the full
-            # bf16 kernel per matmul. Splitting the activation rows by
-            # parity keeps each dequant a pure elementwise chain
-            # (shift -> convert -> broadcast-scale multiply) on the packed
-            # buffer, which does fuse. Packing puts row 2r in the low
-            # nibble and 2r+1 in the high nibble of packed row r.
-            pg = packed.shape[-2] // scale.shape[-3]   # packed rows/group
-            sc = jnp.broadcast_to(
-                scale.astype(self.dtype),
-                (*scale.shape[:-2], pg, scale.shape[-1])
-            ).reshape(*packed.shape[:-2], packed.shape[-2],
-                      packed.shape[-1])
-            lo = jnp.right_shift(jnp.left_shift(packed, 4), 4
-                                 ).astype(self.dtype) * sc
-            hi = jnp.right_shift(packed, 4).astype(self.dtype) * sc
-            xd = x.astype(self.dtype)
-            y = jnp.dot(xd[..., 0::2], lo) + jnp.dot(xd[..., 1::2], hi)
+            y = _int4_matmul(x, packed, scale, self.dtype)
             kernel = None
         else:
             kernel = self.param('kernel', self.kernel_init,

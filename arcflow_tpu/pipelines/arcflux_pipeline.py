@@ -136,18 +136,23 @@ class ArcFluxPipeline:
         self.transformer_params = {'params': qp, 'quant': quant}
         set_act_quant(act_quant)   # trace-time global; set before jit traces
 
-    def quantize_int4(self, min_size: int = 2 ** 16,
+    def quantize_int4(self, act_quant: bool = False,
+                      min_size: int = 2 ** 16,
                       group_size: int = 128) -> None:
-        """Weight-only int4 with group-wise scales: quarter transformer HBM
-        (the FULL Qwen-20B geometry fits one 16 GB chip; the reference
-        needs 57 GB + CPU offload, README.md:69). Same adapter-surface
-        skip rules as int8; call AFTER ``load_arcflow_adapter``."""
-        from ..utils.quantize import quantize_weights_int4
+        """int4 with group-wise scales: quarter transformer HBM (the FULL
+        Qwen-20B geometry fits one 16 GB chip; the reference needs 57 GB +
+        CPU offload, README.md:69). ``act_quant=True`` (w4a8) additionally
+        quantizes activations per token and runs one K=group int8 dot per
+        scale group at the MXU int8 rate — int8-class speed on
+        int4-resident weights. Same adapter-surface skip rules as int8;
+        call AFTER ``load_arcflow_adapter``."""
+        from ..utils.quantize import quantize_weights_int4, set_act_quant
         assert 'params' not in self.transformer_params, 'already quantized'
         qp, quant = quantize_weights_int4(self.transformer_params,
                                           min_size=min_size,
                                           group_size=group_size)
         self.transformer_params = {'params': qp, 'quant': quant}
+        set_act_quant(act_quant)   # trace-time global; set before jit traces
 
     # ---- inference ------------------------------------------------------------
     def encode_prompt(self, prompt: Sequence[str]) -> Dict[str, Array]:

@@ -83,23 +83,36 @@ def quantize_weights_int8(params: Dict, min_size: int = 2 ** 16
     return unflatten(out), unflatten(scales)
 
 
-def pack_int4(q):
-    """int values in [-7, 7], (..., in, out) -> int8 (..., in/2, out) with
-    consecutive input rows in the (low, high) nibbles of one byte."""
+def pack_int4(q, group_size: int = 128):
+    """int values in [-7, 7], (..., in, out) -> int8 (..., in/2, out),
+    group-local half-split layout: within each ``group_size``-row scale
+    group, row ``j`` goes to the LOW nibble and row ``j + group_size//2``
+    to the HIGH nibble of packed row ``j`` (j < group_size//2).
+
+    Both nibbles of a byte then share one scale group, and every
+    per-group slice — of the packed rows AND of the activation columns —
+    is contiguous. That keeps the weight-only dequant a fusible
+    elementwise chain feeding two dots, and lets the w4a8 path run one
+    K=group_size int8 dot per group with plain dynamic slices."""
     q = q.astype(jnp.int8)
-    lo = q[..., 0::2, :]
-    hi = q[..., 1::2, :]
-    return jnp.bitwise_or(jnp.left_shift(hi, 4),
-                          jnp.bitwise_and(lo, jnp.int8(0x0F)))
+    h = group_size // 2
+    qg = q.reshape(*q.shape[:-2], -1, 2, h, q.shape[-1])
+    lo = qg[..., 0, :, :]
+    hi = qg[..., 1, :, :]
+    p = jnp.bitwise_or(jnp.left_shift(hi, 4),
+                       jnp.bitwise_and(lo, jnp.int8(0x0F)))
+    return p.reshape(*q.shape[:-2], q.shape[-2] // 2, q.shape[-1])
 
 
-def unpack_int4(packed):
+def unpack_int4(packed, group_size: int = 128):
     """Inverse of :func:`pack_int4`: int8 (..., in/2, out) -> sign-extended
     int8 values (..., in, out). Arithmetic shifts restore each nibble's
     sign."""
-    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
-    hi = jnp.right_shift(packed, 4)
-    return jnp.stack([lo, hi], axis=-2).reshape(
+    h = group_size // 2
+    pg = packed.reshape(*packed.shape[:-2], -1, h, packed.shape[-1])
+    lo = jnp.right_shift(jnp.left_shift(pg, 4), 4)
+    hi = jnp.right_shift(pg, 4)
+    return jnp.stack([lo, hi], axis=-3).reshape(
         *packed.shape[:-2], packed.shape[-2] * 2, packed.shape[-1])
 
 
@@ -144,7 +157,7 @@ def quantize_weights_int4(params: Dict, min_size: int = 2 ** 16,
         scale = jnp.maximum(absmax, 1e-8) / 7.0
         q = jnp.clip(jnp.round(vg / scale), -7, 7).reshape(vf.shape)
         stem = key[:-len('.kernel')]
-        quant[stem + '.kernel_packed4'] = pack_int4(q)
+        quant[stem + '.kernel_packed4'] = pack_int4(q, group_size)
         quant[stem + '.kernel_scale4'] = scale
     return unflatten(out), unflatten(quant)
 
@@ -167,8 +180,9 @@ def dequantize_weights(qparams: Dict, quant: Dict) -> Dict:
             continue
         stem = skey[:-len('.kernel_packed4')]
         scale = sflat[stem + '.kernel_scale4']       # (..., g, 1, out)
-        vq = unpack_int4(packed).astype(jnp.float32)  # (..., in, out)
         g = scale.shape[-3]
+        group = packed.shape[-2] * 2 // g
+        vq = unpack_int4(packed, group).astype(jnp.float32)  # (..., in, out)
         vv = vq.reshape(                              # (..., g, group, out)
             *vq.shape[:-2], g, vq.shape[-2] // g, vq.shape[-1])
         out[stem + '.kernel'] = (vv * scale.astype(jnp.float32)

@@ -694,6 +694,10 @@ def main():
                                                w8a8=args_cli.w8a8))]
         elif args_cli.bf16:
             attempts = [(d, dict()) for d in (20, 16, 12)]
+        elif args_cli.int4:
+            # w4a8 when combined with --w8a8: int4-resident weights, one
+            # K=group int8 dot per scale group at the MXU int8 rate
+            attempts = [(60, dict(int4=True, w8a8=args_cli.w8a8))]
         elif args_cli.w8a8:
             attempts = [(d, dict(int8=True, w8a8=True))
                         for d in (44, 40, 36, 32)]
@@ -723,7 +727,9 @@ def main():
         ratio = 60.0 / depth
         e2e_20b = per_img * ratio + vae_decode_s
         target = 0.125
-        mode = ('weight-only int4 (group-128)' if mode_kw.get('int4') else
+        mode = ('w4a8 (int4 group-128 weights, int8 acts)'
+                if mode_kw.get('int4') and mode_kw.get('w8a8') else
+                'weight-only int4 (group-128)' if mode_kw.get('int4') else
                 'w8a8' if args_cli.w8a8 else
                 'weight-only int8' if use_int8 else 'bf16')
         geom = ('FULL 20B geometry MEASURED' if depth == 60 else

@@ -32,6 +32,12 @@ def main():
     p.add_argument('--w8a8', action='store_true',
                    help='int8 weights + dynamic int8 activations (MXU int8 '
                         'rate); implies --int8')
+    p.add_argument('--int4', action='store_true',
+                   help='weight-only int4 (group-128 scales): quarter '
+                        'transformer HBM')
+    p.add_argument('--w4a8', action='store_true',
+                   help='int4 weights + dynamic int8 activations (Pallas '
+                        'grouped matmul); implies --int4')
     p.add_argument('--out', default='output.png')
     args = p.parse_args()
 
@@ -53,7 +59,9 @@ def main():
         guidance_scale=args.guidance)
     if args.adapter:
         pipe.load_arcflow_adapter(args.adapter)
-    if args.int8 or args.w8a8:
+    if args.int4 or args.w4a8:
+        pipe.quantize_int4(act_quant=args.w4a8)
+    elif args.int8 or args.w8a8:
         pipe.quantize_int8(act_quant=args.w8a8)
     out = pipe(prompt=[args.prompt], height=args.height, width=args.width,
                seed=args.seed, output_type='pil')

@@ -23,6 +23,12 @@ def main():
                         'needs it on small-HBM chips)')
     p.add_argument('--w8a8', action='store_true',
                    help='int8 weights + dynamic int8 activations')
+    p.add_argument('--int4', action='store_true',
+                   help='weight-only int4 (group-128 scales) — the FULL '
+                        '20B transformer fits one 16 GB chip')
+    p.add_argument('--w4a8', action='store_true',
+                   help='int4 weights + dynamic int8 activations (Pallas '
+                        'grouped matmul; fastest full-20B single-chip mode)')
     p.add_argument('--out', default='output.png')
     args = p.parse_args()
 
@@ -43,7 +49,9 @@ def main():
         nfe=args.nfe, temperature=args.temperature)
     if args.adapter:
         pipe.load_arcflow_adapter(args.adapter)
-    if args.int8 or args.w8a8:
+    if args.int4 or args.w4a8:
+        pipe.quantize_int4(act_quant=args.w4a8)
+    elif args.int8 or args.w8a8:
         pipe.quantize_int8(act_quant=args.w8a8)
     out = pipe(prompt=[args.prompt], height=args.height, width=args.width,
                seed=args.seed, output_type='pil')

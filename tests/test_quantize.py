@@ -149,6 +149,26 @@ def test_int4_roundtrip_and_forward():
     assert cos > 0.97, cos
 
 
+def test_w4a8_forward_close_to_int4():
+    """w4a8 (int4 weights + per-token int8 activations, one int8 dot per
+    scale group) must track the weight-only int4 forward: the group loop +
+    activation rounding adds only small error on top of the int4 weights."""
+    from arcflow_tpu.utils.quantize import quantize_weights_int4, set_act_quant
+    model, params, inputs = _tiny_flux()
+    qparams, quant = quantize_weights_int4(params, min_size=1024,
+                                           group_size=32)
+    vars4 = {'params': qparams, 'quant': quant}
+    ref4 = np.asarray(model.apply(vars4, **inputs), np.float32)
+    set_act_quant(True)
+    try:
+        got = np.asarray(model.apply(vars4, **inputs), np.float32)
+    finally:
+        set_act_quant(False)
+    assert np.isfinite(got).all()
+    cos = (got * ref4).sum() / (np.linalg.norm(got) * np.linalg.norm(ref4))
+    assert cos > 0.97, cos
+
+
 def test_pipeline_quantize_int4_samples():
     from arcflow_tpu.models import ArcFluxTransformer2DModel
     from arcflow_tpu.pipelines import ArcFluxPipeline

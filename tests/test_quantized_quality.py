@@ -96,11 +96,20 @@ def test_quantized_serving_quality(distilled):
     assert any(k.endswith('.kernel_packed4') for k in _flat(quant4))
     w4 = _in_support(_sample(model, {'params': qp4, 'quant': quant4}))
 
+    # w4a8: int4-resident weights + per-token int8 activations (one int8
+    # dot per scale group — the MXU-int8-rate capacity mode)
+    set_act_quant(True)
+    try:
+        w4a8 = _in_support(_sample(model, {'params': qp4, 'quant': quant4}))
+    finally:
+        set_act_quant(False)
+
     print(f'in-support: fp32 {base:.3f}, int8 {w8:.3f}, w8a8 {w8a8:.3f}, '
-          f'int4 {w4:.3f}')
+          f'int4 {w4:.3f}, w4a8 {w4a8:.3f}')
     assert abs(base - w8) < 0.05, (base, w8)
     assert abs(base - w8a8) < 0.08, (base, w8a8)
     assert abs(base - w4) < 0.10, (base, w4)
+    assert abs(base - w4a8) < 0.10, (base, w4a8)
 
 
 def test_dequantize_roundtrip_on_trained_weights(distilled):
