@@ -73,7 +73,8 @@ def train_model(cfg: Config, work_dir: Optional[str] = None,
         # attention-head/MLP activations to the tensor axis
         from ..parallel import set_activation_sharding
         set_activation_sharding(
-            mesh, tensor_axis=parallel_cfg.get('tensor_axis') or 'tensor')
+            mesh, tensor_axis=parallel_cfg.get('tensor_axis') or 'tensor',
+            sp_mode=parallel_cfg.get('sp_mode', 'ulysses'))
         logger.info(f'mesh parallelism: {dict(mesh.shape)}')
 
     ckpt_cfg = dict(cfg.get('checkpoint_config', {}) or {})

@@ -447,6 +447,13 @@ def attention(q: Array, k: Array, v: Array,
     if _flash_ok(q, mask):
         return _flash_call(q, k, v, kv_valid)
     if mask is None or kv_valid is not None:
+        from ..parallel.ring_attention import ring_attention, ring_partition
+        rp = ring_partition(q.shape)
+        if rp is not None:
+            rmesh, sp_axis, batch, head_axes = rp
+            return ring_attention(q, k, v, rmesh, sp_axis,
+                                  kv_valid=kv_valid, batch=batch,
+                                  head_axes=head_axes)
         from ..parallel.mesh import heads_partition
         part = heads_partition(q.shape)
         if part is not None:

@@ -7,6 +7,7 @@ from .mesh import (make_mesh, fsdp_shard_params, fsdp_spec_for,
                    set_activation_sharding, clear_activation_sharding,
                    activation_sharding, shard_activation,
                    sequence_parallel_active)
+from .ring_attention import ring_attention, ring_partition
 
 __all__ = ['make_mesh', 'fsdp_shard_params', 'fsdp_spec_for',
            'param_spec_for', 'shard_state', 'shard_batch', 'batch_sharding',
@@ -14,4 +15,5 @@ __all__ = ['make_mesh', 'fsdp_shard_params', 'fsdp_spec_for',
            'set_activation_sharding', 'clear_activation_sharding',
            'activation_sharding', 'shard_activation',
            'sequence_parallel_active',
+           'ring_attention', 'ring_partition',
            'audit_compiled', 'collective_stats', 'tree_bytes']

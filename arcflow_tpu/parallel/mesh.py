@@ -203,23 +203,34 @@ def shard_state(state, mesh: Mesh, fsdp_axis: str = 'fsdp',
 # out projections with a psum) by itself.
 
 _ACT = {'mesh': None, 'batch_axes': ('data', 'fsdp'),
-        'tensor_axis': 'tensor', 'sp_axis': 'sp'}
+        'tensor_axis': 'tensor', 'sp_axis': 'sp', 'sp_mode': 'ulysses'}
 
 
 def set_activation_sharding(mesh: Optional[Mesh],
                             batch_axes: Sequence[str] = ('data', 'fsdp'),
                             tensor_axis: str = 'tensor',
-                            sp_axis: str = 'sp') -> None:
+                            sp_axis: str = 'sp',
+                            sp_mode: str = 'ulysses') -> None:
     """Enable activation constraints inside model code (trace-time global:
     set it before the train/inference step is first traced).
 
-    ``sp_axis`` adds Ulysses-style sequence parallelism (absent in the
-    reference; SURVEY §2.4 planned extension): token activations shard over
-    the sequence dim everywhere except inside attention, where they
-    re-shard to heads — GSPMD inserts the all-to-alls. This is the
-    multi-chip *single-image latency* axis (the v5p-8 north star)."""
+    ``sp_axis`` adds sequence parallelism (absent in the reference;
+    SURVEY §2.4 planned extension) in one of two layouts (``sp_mode``):
+
+      * ``'ulysses'`` (default): token activations shard over the sequence
+        dim everywhere except inside attention, where they re-shard to
+        heads — GSPMD inserts the all-to-alls and each device runs the
+        tuned flash kernel on the full sequence for its head slice. This
+        is the multi-chip *single-image latency* axis (the v5p-8 north
+        star).
+      * ``'ring'``: the sequence stays sharded inside attention too and
+        K/V blocks rotate the ring (parallel/ring_attention.py) — no
+        device ever holds the full sequence, so S scales past the point
+        where a head slice's full-S workspace fits, and sp need not
+        divide the head count."""
+    assert sp_mode in ('ulysses', 'ring'), sp_mode
     _ACT.update(mesh=mesh, batch_axes=tuple(batch_axes),
-                tensor_axis=tensor_axis, sp_axis=sp_axis)
+                tensor_axis=tensor_axis, sp_axis=sp_axis, sp_mode=sp_mode)
 
 
 def sequence_parallel_active() -> bool:
@@ -245,7 +256,7 @@ def heads_partition(q_shape) -> Optional[Tuple[Mesh, P]]:
     ``shard_activation(x, 'heads')`` pins.
     """
     mesh = _ACT['mesh']
-    if mesh is None:
+    if mesh is None or _ACT.get('sp_mode', 'ulysses') == 'ring':
         return None
     head_axes = tuple(a for a in (_ACT['sp_axis'], _ACT['tensor_axis'])
                       if mesh.shape.get(a, 1) > 1)
@@ -318,6 +329,12 @@ def shard_activation(x, kind: str):
         spec = P(batch)
     elif kind == 'residual':
         spec = P(batch, sp)
+    elif kind == 'heads' and _ACT.get('sp_mode', 'ulysses') == 'ring':
+        # ring mode keeps the sequence sharded through attention: the
+        # 'heads' pin collapses to the heads_seq layout (no all-to-all;
+        # the K/V rotation happens inside the kernel instead)
+        head_tp = tp if (tp and x.shape[-2] % mesh.shape[tp] == 0) else None
+        spec = P(batch, sp, head_tp, None)
     elif kind == 'heads':
         # attention wants full sequence per head group: seq replicated,
         # heads over BOTH the sp and tensor axes (the Ulysses all-to-all
