@@ -93,3 +93,28 @@ def test_train_step_all_gather_bytes_bounded():
         f"all-gather {ag['bytes'] / 1e6:.1f} MB vs params "
         f"{param_bytes / 1e6:.1f} MB — SPMD resharding regression?"
         f" full stats: {stats}")
+
+
+def test_ring_attention_program_is_permute_only():
+    """The compiled ring-attention program moves K/V with neighbour
+    collective-permutes only — no all-to-all (that is the Ulysses layout)
+    and no all-gather of the sequence (the point of the ring: no device
+    ever holds full S)."""
+    import jax.numpy as jnp
+    from arcflow_tpu.models.layers import attention
+    from arcflow_tpu.parallel import (activation_sharding, audit_compiled,
+                                      make_mesh)
+
+    mesh = make_mesh({'sp': 8})
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, (2, 64, 4, 16)) for kk in ks)
+    with activation_sharding(mesh, sp_mode='ring'):
+        compiled = jax.jit(attention).lower(q, k, v).compile()
+    stats = audit_compiled(compiled)['collectives']
+    cp = stats['collective-permute']
+    assert cp['count'] > 0, f'ring must ppermute K/V blocks: {stats}'
+    assert stats['all-to-all']['count'] == 0, stats
+    # the only gather-like traffic allowed is (re)assembling the output for
+    # the caller's replicated result layout — never S x (H, D) K/V blocks
+    seq_kv_bytes = 2 * q.size * q.dtype.itemsize
+    assert stats['all-gather']['bytes'] <= seq_kv_bytes, stats
