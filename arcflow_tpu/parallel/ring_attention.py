@@ -37,6 +37,7 @@ running (m, l, o) triple.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -72,11 +73,12 @@ def _ring_body(q: Array, carry, axis: str, ring_size: int, scale: float):
     return (o, m_new, l, k, v, kv_valid)
 
 
-def _ring_attention_local(q: Array, k: Array, v: Array,
-                          kv_valid: Optional[Array], axis: str,
-                          ring_size: int) -> Array:
+def _ring_local_jnp(q: Array, k: Array, v: Array,
+                    kv_valid: Optional[Array], axis: str,
+                    ring_size: int) -> Array:
     """Per-device body (inside shard_map): q/k/v are the local sequence
-    shards (B, S/n, H, D); kv_valid is the local (B, S/n) key validity."""
+    shards (B, S/n, H, D); kv_valid is the local (B, S/n) key validity.
+    Plain-XLA blockwise softmax — the portable / differentiable tier."""
     b, sq, h, d = q.shape
     scale = 1.0 / (d ** 0.5)
     o = jnp.zeros((b, sq, h, d), jnp.float32)
@@ -91,6 +93,149 @@ def _ring_attention_local(q: Array, k: Array, v: Array,
     return (o / jnp.maximum(l, 1e-30)[..., None]).astype(q.dtype)
 
 
+# ---- flash-kernel hops (TPU fast tier) ------------------------------------
+
+def _hop_block_sizes(sq: int, skv: int, d: int):
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+    bq = next(bb for bb in (512, 256, 128) if sq % bb == 0)
+    bk_major = next(bb for bb in (1536, 1024, 512, 256, 128)
+                    if skv % bb == 0)
+    bk = min(512, bk_major)
+    return BlockSizes(
+        block_q=bq, block_k_major=bk_major, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk_major, block_k_dkv=bk,
+        block_q_dkv=bq, block_k_major_dq=bk_major, block_k_dq=bk,
+        block_q_dq=bq)
+
+
+def flash_hop_ok(sq: int, d: int) -> bool:
+    """Local-shard shapes the tuned Pallas hop kernel accepts."""
+    return sq % 128 == 0 and d % 128 == 0
+
+
+def _hop_stats_pallas(qt: Array, kc: Array, vc: Array,
+                      q_ids: Optional[Array], kv_ids: Optional[Array],
+                      scale: float):
+    """One hop through the tuned Pallas flash kernel, returning the
+    normalized block output plus its softmax residuals ``(l, m)``
+    (``_flash_attention_impl(save_residuals=True)`` — the same residuals
+    the kernel keeps for its own backward). Layout (B, H, S, D)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, _flash_attention_impl)
+    bs = _hop_block_sizes(qt.shape[2], kc.shape[2], qt.shape[3])
+    seg = None if kv_ids is None else SegmentIds(q=q_ids, kv=kv_ids)
+    o, l, m = _flash_attention_impl(
+        qt, kc, vc, None, seg, True, False, scale,
+        bs.block_b, bs.block_q, bs.block_k_major, bs.block_k, False)
+    return (o.astype(jnp.float32), l.astype(jnp.float32),
+            m.astype(jnp.float32))
+
+
+def _hop_stats_ref(qt: Array, kc: Array, vc: Array,
+                   q_ids: Optional[Array], kv_ids: Optional[Array],
+                   scale: float):
+    """jnp mirror of the Pallas hop contract (normalized o, l, m) — the
+    cross-check tier for tests (interpret-mode Pallas cannot run inside a
+    multi-device shard_map) and the documentation of the kernel's residual
+    semantics: masking is ADDITIVE (score + DEFAULT_MASK_VALUE), so a
+    fully-masked row yields m ~= mask_value, l == kv_len, o == mean(v) —
+    the ring merge relies on exp(m_i - M) -> 0 to drop that hop, not on
+    l == 0."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        DEFAULT_MASK_VALUE)
+    s = jnp.einsum('bhqd,bhkd->bhqk', qt.astype(jnp.float32),
+                   kc.astype(jnp.float32)) * scale
+    if kv_ids is not None:
+        valid = q_ids[:, None, :, None] == kv_ids[:, None, None, :]
+        s = s + jnp.where(valid, 0.0, DEFAULT_MASK_VALUE)
+    m = jnp.max(s, axis=-1)
+    p = jnp.exp(s - m[..., None])
+    l = jnp.sum(p, axis=-1)
+    o = jnp.einsum('bhqk,bhkd->bhqd', p / l[..., None],
+                   vc.astype(jnp.float32))
+    return o, l, m
+
+
+# module-level binding so tests can swap in the jnp mirror under shard_map
+_hop_stats = _hop_stats_pallas
+
+
+def _ring_flash_core(axis: str, ring_size: int, q: Array, k: Array,
+                     v: Array, kv_valid: Optional[Array]) -> Array:
+    """Ring with the tuned Pallas flash kernel per hop: each hop returns its
+    normalized block output plus softmax stats ``(l, m)`` and hops merge in
+    fp32 by the standard two-level flash decomposition:
+
+        w_i = l_i * exp(m_i - M),   o = sum_i o_i w_i / sum_i w_i.
+    """
+    b, sq, h, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    qt = q.transpose(0, 2, 1, 3)                      # (B, H, Sq, D)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    q_ids = jnp.zeros((b, sq), jnp.int32)
+    kv_ids = None if kv_valid is None else \
+        jnp.where(kv_valid, 0, 1).astype(jnp.int32)
+
+    def hop(carry, _):
+        acc, m_acc, l_acc, kc, vc, idc = carry
+        o_i, l_i, m_i = _hop_stats(qt, kc, vc, q_ids, idc, scale)
+        # a fully-masked visiting block yields m_i ~= DEFAULT_MASK_VALUE
+        # (-2.4e38) with l_i == kv_len: exp(m_i - m_new) underflows to 0,
+        # so its contribution vanishes (m_acc init -1e30 > mask_value keeps
+        # m_new sane even when every hop is masked)
+        m_new = jnp.maximum(m_acc, m_i)
+        c1 = l_acc * jnp.exp(m_acc - m_new)
+        c2 = l_i * jnp.exp(m_i - m_new)
+        acc = acc * jnp.exp(m_acc - m_new)[..., None] + o_i * c2[..., None]
+        perm = [(j, (j + 1) % ring_size) for j in range(ring_size)]
+        kc = jax.lax.ppermute(kc, axis, perm)
+        vc = jax.lax.ppermute(vc, axis, perm)
+        if idc is not None:
+            idc = jax.lax.ppermute(idc, axis, perm)
+        return (acc, m_new, c1 + c2, kc, vc, idc), None
+
+    acc = jnp.zeros((b, h, sq, d), jnp.float32)
+    m0 = jnp.full((b, h, sq), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, h, sq), jnp.float32)
+    (acc, _, l_acc, *_), _ = jax.lax.scan(
+        hop, (acc, m0, l0, kt, vt, kv_ids), None, length=ring_size)
+    out = acc / jnp.maximum(l_acc, 1e-30)[..., None]
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _ring_local_flash(axis: str, ring_size: int, q: Array, k: Array,
+                      v: Array, kv_valid: Optional[Array]) -> Array:
+    return _ring_flash_core(axis, ring_size, q, k, v, kv_valid)
+
+
+def _ring_flash_fwd(axis, ring_size, q, k, v, kv_valid):
+    return (_ring_flash_core(axis, ring_size, q, k, v, kv_valid),
+            (q, k, v, kv_valid))
+
+
+def _ring_flash_bwd(axis, ring_size, res, g):
+    # rematerialize through the differentiable jnp tier (same numerics)
+    q, k, v, kv_valid = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _ring_local_jnp(q_, k_, v_, kv_valid, axis,
+                                           ring_size), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_ring_local_flash.defvjp(_ring_flash_fwd, _ring_flash_bwd)
+
+
+def _ring_attention_local(q: Array, k: Array, v: Array,
+                          kv_valid: Optional[Array], axis: str,
+                          ring_size: int, use_flash: bool) -> Array:
+    if use_flash:
+        return _ring_local_flash(axis, ring_size, q, k, v, kv_valid)
+    return _ring_local_jnp(q, k, v, kv_valid, axis, ring_size)
+
+
 def ring_spec(mesh: Mesh, batch, sp_axis: str, head_axes) -> P:
     """(B, S, H, D) spec for the ring layout: seq over sp, heads over
     tensor (per-head attention needs no collective over the head axis)."""
@@ -99,7 +244,8 @@ def ring_spec(mesh: Mesh, batch, sp_axis: str, head_axes) -> P:
 
 def ring_attention(q: Array, k: Array, v: Array, mesh: Mesh, sp_axis: str,
                    kv_valid: Optional[Array] = None,
-                   batch=None, head_axes: Tuple[str, ...] = ()) -> Array:
+                   batch=None, head_axes: Tuple[str, ...] = (),
+                   use_flash: Optional[bool] = None) -> Array:
     """Context-parallel attention on (B, S, H, D) with seq sharded over
     ``sp_axis``; K/V blocks rotate the ring, no device ever holds the full
     sequence.
@@ -112,6 +258,11 @@ def ring_attention(q: Array, k: Array, v: Array, mesh: Mesh, sp_axis: str,
         batch: mesh axis (or tuple) the batch dim shards over, or None.
         head_axes: mesh axes the head dim shards over (tensor parallelism
             composes freely — heads split without any ring interaction).
+        use_flash: run each hop through the tuned Pallas flash kernel and
+            merge hops by their (o, l, m) softmax stats. Default: auto —
+            on TPU whenever the local shard shapes qualify. The flash tier
+            carries a custom_vjp that rematerializes gradients through the
+            jnp tier.
 
     Returns:
         (B, S, H, D) in q.dtype, same sharding as the inputs.
@@ -119,16 +270,20 @@ def ring_attention(q: Array, k: Array, v: Array, mesh: Mesh, sp_axis: str,
     ring_size = mesh.shape[sp_axis]
     spec = ring_spec(mesh, batch, sp_axis, head_axes)
     kv_spec = P(batch, sp_axis)
+    if use_flash is None:
+        use_flash = (jax.default_backend() == 'tpu'
+                     and flash_hop_ok(q.shape[1] // ring_size, q.shape[3]))
 
     if kv_valid is None:
         def body(ql, kl, vl):
             return _ring_attention_local(ql, kl, vl, None, sp_axis,
-                                         ring_size)
+                                         ring_size, use_flash)
         return jax.shard_map(body, mesh=mesh, in_specs=(spec,) * 3,
                              out_specs=spec, check_vma=False)(q, k, v)
 
     def body(ql, kl, vl, kvl):
-        return _ring_attention_local(ql, kl, vl, kvl, sp_axis, ring_size)
+        return _ring_attention_local(ql, kl, vl, kvl, sp_axis, ring_size,
+                                     use_flash)
     return jax.shard_map(body, mesh=mesh,
                          in_specs=(spec, spec, spec, kv_spec),
                          out_specs=spec, check_vma=False)(q, k, v, kv_valid)

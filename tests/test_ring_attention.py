@@ -133,6 +133,93 @@ def test_heads_pin_keeps_seq_sharded_in_ring_mode():
         assert out.sharding.spec[2] == ('sp', 'tensor'), out.sharding
 
 
+def test_hop_stats_pallas_matches_ref():
+    """The Pallas hop kernel's (normalized o, l, m) residual contract vs
+    the jnp mirror, single device in interpret mode (interpret-mode Pallas
+    cannot run inside a multi-device shard_map — the ring merge itself is
+    tested below through the mirror). Includes a fully-masked row block,
+    whose contract is l == kv_len / m ~= DEFAULT_MASK_VALUE / o == mean(v)
+    (masking is additive in the kernel)."""
+    from jax.experimental.pallas import tpu as pltpu
+    import importlib
+    ra = importlib.import_module('arcflow_tpu.parallel.ring_attention')
+    q, k, v = _qkv(jax.random.PRNGKey(6), b=2, s=256, h=2, d=128)
+    qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+    scale = 1.0 / (128 ** 0.5)
+    q_ids = jnp.zeros((2, 256), jnp.int32)
+    # row 0 entirely padded (l == 0 everywhere), row 1 partially padded
+    kv_valid = jnp.arange(256)[None, :] < jnp.asarray([0, 200])[:, None]
+    kv_ids = jnp.where(kv_valid, 0, 1).astype(jnp.int32)
+    for ids in (None, kv_ids):
+        qi = None if ids is None else q_ids
+        with pltpu.force_tpu_interpret_mode():
+            o_p, l_p, m_p = ra._hop_stats_pallas(qt, kt, vt, qi, ids, scale)
+        o_r, l_r, m_r = ra._hop_stats_ref(qt, kt, vt, qi, ids, scale)
+        np.testing.assert_allclose(np.asarray(l_p), np.asarray(l_r),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_r),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_r),
+                                   rtol=2e-3, atol=2e-3)
+
+
+@pytest.fixture
+def ref_hop(monkeypatch):
+    """Route the flash tier's hops through the jnp mirror of the Pallas
+    residual contract (kernel-vs-mirror parity is asserted above)."""
+    import importlib
+    ra = importlib.import_module('arcflow_tpu.parallel.ring_attention')
+    monkeypatch.setattr(ra, '_hop_stats', ra._hop_stats_ref)
+
+
+def test_ring_flash_hops_match_full_attention(ref_hop):
+    """The flash-per-hop tier: per-hop (o, l, m) stats merge across the
+    ring to the exact softmax."""
+    q, k, v = _qkv(jax.random.PRNGKey(6), b=2, s=512, h=2, d=128)
+    ref = jax.nn.dot_product_attention(q, k, v)
+    mesh = make_mesh({'sp': 4, 'data': 2})
+    got = ring_attention(q, k, v, mesh, 'sp', batch='data', use_flash=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_ring_flash_hops_match_with_mask(ref_hop):
+    """Key-padding ids travel the ring; a hop whose visiting block is
+    entirely padded must contribute zero weight (l_i == 0 guard)."""
+    q, k, v = _qkv(jax.random.PRNGKey(7), b=2, s=512, h=2, d=128)
+    # rows valid up to 200/383: the last shard (384:512) is fully padded
+    # for row 0 — exercises the fully-masked-hop guard
+    kv_valid = jnp.arange(512)[None, :] < jnp.asarray([200, 383])[:, None]
+    ref = jax.nn.dot_product_attention(q, k, v,
+                                       mask=kv_valid[:, None, None, :])
+    mesh = make_mesh({'sp': 4, 'data': 2})
+    got = ring_attention(q, k, v, mesh, 'sp', kv_valid=kv_valid,
+                         batch='data', use_flash=True)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_ring_flash_grad_remats_through_jnp_tier(ref_hop):
+    """custom_vjp on the flash tier: gradients flow (rematerialized through
+    the jnp tier) and match dense attention's."""
+    q, k, v = _qkv(jax.random.PRNGKey(8), b=1, s=256, h=1, d=128)
+    mesh = make_mesh({'sp': 2, 'data': 4})
+
+    def loss_ring(q, k, v):
+        out = ring_attention(q, k, v, mesh, 'sp', use_flash=True)
+        return jnp.sum(jnp.square(out))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(jax.nn.dot_product_attention(q, k, v)))
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ring, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_arcflux_forward_ring_matches_unsharded():
     """Full ArcFlux forward under ring sequence parallelism (+TP) == the
     unsharded single-device forward."""
