@@ -43,7 +43,8 @@ def log(*a):
 
 
 def build(num_layers, num_single_layers, latent=128, txt=512, k=16,
-          mesh=None, batch=1, int8=False, w8a8=False, int4=False):
+          mesh=None, batch=1, int8=False, w8a8=False, int4=False,
+          sp_mode='ulysses'):
     from arcflow_tpu.models import ArcFluxTransformer2DModel
     from arcflow_tpu.diffusion import (ArcFlowPolicy, ContinuousTimeStepSampler,
                                        momentum_integration)
@@ -150,7 +151,7 @@ def build(num_layers, num_single_layers, latent=128, txt=512, k=16,
         from jax.sharding import NamedSharding
         from arcflow_tpu.parallel import (param_spec_for,
                                           set_activation_sharding)
-        set_activation_sharding(mesh)
+        set_activation_sharding(mesh, sp_mode=sp_mode)
         fsdp = mesh.shape.get('fsdp', 1)
         tensor = mesh.shape.get('tensor', 1)
         shapes = jax.eval_shape(init_fn, ks[3])
@@ -545,9 +546,10 @@ def bench_aot_12b(mesh_axes=None, batch_per_chip=1, latent=128, txt=512):
 
 
 def try_bench(layers, single_layers, iters=8, mesh=None, batch=1,
-              int8=False, w8a8=False, int4=False):
+              int8=False, w8a8=False, int4=False, sp_mode='ulysses'):
     fn, args, model = build(layers, single_layers, mesh=mesh, batch=batch,
-                            int8=int8, w8a8=w8a8, int4=int4)
+                            int8=int8, w8a8=w8a8, int4=int4,
+                            sp_mode=sp_mode)
     n_params = count_logical_params(args[0])
     log(f'config: {layers} joint + {single_layers} single blocks, '
         f'{n_params / 1e9:.2f}B params')
@@ -595,6 +597,12 @@ def main():
     p.add_argument('--mesh', type=str, default=None,
                    help="explicit mesh, e.g. 'sp=4,tensor=2' for the "
                         'single-image latency (sequence-parallel) config')
+    p.add_argument('--sp-mode', choices=('ulysses', 'ring'),
+                   default='ulysses',
+                   help='sequence-parallel layout under --mesh sp>1: '
+                        'all-to-all to head shards (ulysses, default) or '
+                        'ring/context-parallel K/V rotation (long-context; '
+                        'Pallas flash per hop)')
     p.add_argument('--train', action='store_true',
                    help='benchmark the full distillation optimizer step '
                         '(10 DiT forwards + backward, clip, EMA) instead '
@@ -792,7 +800,8 @@ def main():
                                           batch=args_cli.batch,
                                           int8=int8_mode,
                                           w8a8=args_cli.w8a8 and int8_mode,
-                                          int4=args_cli.int4)
+                                          int4=args_cli.int4,
+                                          sp_mode=args_cli.sp_mode)
             break
         except Exception as e:  # noqa: BLE001 - OOM fallback
             log(f'config ({layers},{single},int8={int8_mode}) failed: '
