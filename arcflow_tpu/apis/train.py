@@ -68,13 +68,17 @@ def train_model(cfg: Config, work_dir: Optional[str] = None,
             state, mesh,
             fsdp_axis=parallel_cfg.get('fsdp_axis', 'fsdp'),
             tensor_axis=parallel_cfg.get('tensor_axis'),
-            min_size=parallel_cfg.get('min_shard_size', 2 ** 16))
+            min_size=parallel_cfg.get('min_shard_size', 2 ** 16),
+            pipe_axis=parallel_cfg.get('pipe_axis', 'pipe'))
         # activation constraints (trace-time): batch pinned to (data, fsdp),
-        # attention-head/MLP activations to the tensor axis
+        # attention-head/MLP activations to the tensor axis; a 'pipe' mesh
+        # axis stages the DiT blocks as a GPipe schedule
         from ..parallel import set_activation_sharding
         set_activation_sharding(
             mesh, tensor_axis=parallel_cfg.get('tensor_axis') or 'tensor',
-            sp_mode=parallel_cfg.get('sp_mode', 'ulysses'))
+            sp_mode=parallel_cfg.get('sp_mode', 'ulysses'),
+            pipe_axis=parallel_cfg.get('pipe_axis', 'pipe'),
+            pipe_microbatches=parallel_cfg.get('pipe_microbatches'))
         logger.info(f'mesh parallelism: {dict(mesh.shape)}')
 
     ckpt_cfg = dict(cfg.get('checkpoint_config', {}) or {})

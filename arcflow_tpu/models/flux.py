@@ -89,13 +89,19 @@ class TimeTextEmbed(nn.Module):
 
 
 class FluxJointBlock(nn.Module):
-    """Dual-stream block: AdaLN-zero per stream, joint attention, gated MLP."""
+    """Dual-stream block: AdaLN-zero per stream, joint attention, gated MLP.
+
+    ``moe_experts > 0`` swaps both stream MLPs for expert-choice MoE FFNs
+    (layers.MoEFeedForward — beyond-reference; shards over the 'expert'
+    mesh axis)."""
 
     dim: int
     num_heads: int
     head_dim: int
     lora_rank: int = 0
     lora_dropout: float = 0.0
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.0
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -118,11 +124,15 @@ class FluxJointBlock(nn.Module):
         h_txt = layer_norm_no_affine(txt) * (1 + scale_mlp_t) + shift_mlp_t
         img = img + gate_mlp_i * FeedForward(
             self.dim, lora_rank=self.lora_rank,
-                lora_dropout=self.lora_dropout, dtype=self.dtype,
+                lora_dropout=self.lora_dropout,
+            moe_experts=self.moe_experts,
+            moe_capacity_factor=self.moe_capacity_factor, dtype=self.dtype,
             name='ff_img')(h_img)
         txt = txt + gate_mlp_t * FeedForward(
             self.dim, lora_rank=self.lora_rank,
-                lora_dropout=self.lora_dropout, dtype=self.dtype,
+                lora_dropout=self.lora_dropout,
+            moe_experts=self.moe_experts,
+            moe_capacity_factor=self.moe_capacity_factor, dtype=self.dtype,
             name='ff_txt')(h_txt)
         if cn is not None:
             # controlnet residual on the image stream, applied at block end
@@ -188,6 +198,67 @@ def _scan_blocks(block_cls, n_layers: int, name: str, remat: bool,
     )(name=name, **block_kw)
 
 
+def _apply_stacked_blocks(parent: nn.Module, scan_mod, name: str,
+                          block_cls, n_layers: int, remat: bool,
+                          block_kw: dict, carry, bcast):
+    """Run the stacked blocks of ``scan_mod`` (built by ``_scan_blocks``):
+    the plain ``nn.scan`` normally; a microbatched GPipe pipeline over the
+    'pipe' mesh axis when one is active (parallel/pipeline.py — PP is
+    absent in the reference, SURVEY.md §2.4).
+
+    The pipeline is *the same stacked parameter tree on a different
+    schedule*: on the init path (or with no pipe axis) nn.scan declares/
+    runs the (L, ...) params as usual; on the pipelined apply path those
+    params are read back from ``parent.variables`` and each stage applies
+    its layer shard via ``block.apply`` — param names, checkpoint layout
+    and the weight converter stay byte-identical.
+    """
+    from ..parallel.pipeline import pipe_partition, pipeline_scan
+    batch = jax.tree.leaves(carry)[0].shape[0]
+    part = None if parent.is_initializing() \
+        else pipe_partition(n_layers, batch)
+    if part is None:
+        out, _ = scan_mod(carry, bcast)
+        return out
+    mesh, axis, micro = part
+    svars = {'params': parent.variables['params'][name]}
+    quant = parent.variables.get('quant', {})
+    if name in quant:
+        svars['quant'] = quant[name]
+    block = block_cls(parent=None, **block_kw)
+    rng = parent.make_rng('dropout') if parent.has_rng('dropout') else None
+
+    # split the layer-invariant inputs: per-sample leaves (leading dim ==
+    # batch: temb, key masks) must microbatch and ride the pipeline with
+    # the carry; only batch-free leaves (rope tables) broadcast whole
+    leaves, treedef = jax.tree.flatten(bcast)
+    is_per_sample = [hasattr(x, 'ndim') and x.ndim >= 1
+                     and x.shape[0] == batch for x in leaves]
+    ride = [x for x, p in zip(leaves, is_per_sample) if p]
+
+    def rebuild(shared, riding):
+        it_r, it_s = iter(riding), iter(shared)
+        merged = [next(it_r) if p else next(it_s)
+                  for p in is_per_sample]
+        return jax.tree.unflatten(treedef, merged)
+
+    shared = [x for x, p in zip(leaves, is_per_sample) if not p]
+
+    def apply_layer(lvars, c_ride, bc_rng, li):
+        c, riding = c_ride
+        bc, key = bc_rng
+        rngs = None if key is None else \
+            {'dropout': jax.random.fold_in(key, li)}
+        out, _ = block.apply(lvars, c, rebuild(bc, riding), rngs=rngs)
+        return (out, riding)
+
+    if remat:
+        apply_layer = jax.checkpoint(apply_layer, prevent_cse=False)
+    out, _ = pipeline_scan(apply_layer, svars, (carry, ride),
+                           (shared, rng), mesh, axis, micro)
+    return out
+
+
 def _stack_controlnet_samples(samples, n_layers: int,
                               repeat: bool) -> Array:
     """Map per-controlnet-block residuals onto the n model blocks
@@ -231,6 +302,8 @@ class FluxBackbone(nn.Module):
     rope_theta: float = 10000.0
     lora_rank: int = 0
     lora_dropout: float = 0.0
+    moe_experts: int = 0              # >0: MoE joint-block MLPs (EP-ready)
+    moe_capacity_factor: float = 1.0
     checkpointing: bool = True
     dtype: Dtype = jnp.bfloat16
 
@@ -267,39 +340,50 @@ class FluxBackbone(nn.Module):
         ids = jnp.concatenate([txt_ids, img_ids], axis=0)
         rope = rope_frequencies(ids, self.axes_dims_rope, self.rope_theta)
 
+        joint_kw = dict(dim=self.inner_dim,
+                        num_heads=self.num_attention_heads,
+                        head_dim=self.attention_head_dim,
+                        lora_rank=self.lora_rank,
+                        lora_dropout=self.lora_dropout,
+                        moe_experts=self.moe_experts,
+                        moe_capacity_factor=self.moe_capacity_factor,
+                        dtype=dt)
         joint = _scan_blocks(
             FluxJointBlock, self.num_layers, 'joint_blocks',
             remat=self.checkpointing,
-            scan_cn=controlnet_block_samples is not None, dim=self.inner_dim,
-            num_heads=self.num_attention_heads,
-            head_dim=self.attention_head_dim, lora_rank=self.lora_rank,
-                lora_dropout=self.lora_dropout,
-            dtype=dt)
+            scan_cn=controlnet_block_samples is not None, **joint_kw)
         if controlnet_block_samples is not None:
             cn = _stack_controlnet_samples(
                 controlnet_block_samples, self.num_layers,
                 controlnet_blocks_repeat)
             (img, txt), _ = joint((img, txt), (rope, temb), cn)
         else:
-            (img, txt), _ = joint((img, txt), (rope, temb))
+            img, txt = _apply_stacked_blocks(
+                self, joint, 'joint_blocks', FluxJointBlock,
+                self.num_layers, self.checkpointing, joint_kw,
+                (img, txt), (rope, temb))
 
         hidden = jnp.concatenate([txt, img], axis=1)
+        single_kw = dict(dim=self.inner_dim,
+                         num_heads=self.num_attention_heads,
+                         head_dim=self.attention_head_dim,
+                         lora_rank=self.lora_rank,
+                         lora_dropout=self.lora_dropout, dtype=dt)
         single = _scan_blocks(
             FluxSingleBlock, self.num_single_layers, 'single_blocks',
             remat=self.checkpointing,
             scan_cn=controlnet_single_block_samples is not None,
-            dim=self.inner_dim,
-            num_heads=self.num_attention_heads,
-            head_dim=self.attention_head_dim, lora_rank=self.lora_rank,
-                lora_dropout=self.lora_dropout,
-            dtype=dt)
+            **single_kw)
         if controlnet_single_block_samples is not None:
             cn_s = _stack_controlnet_samples(
                 controlnet_single_block_samples, self.num_single_layers,
                 repeat=False)
             hidden, _ = single(hidden, (rope, temb), cn_s)
         else:
-            hidden, _ = single(hidden, (rope, temb))
+            hidden = _apply_stacked_blocks(
+                self, single, 'single_blocks', FluxSingleBlock,
+                self.num_single_layers, self.checkpointing, single_kw,
+                hidden, (rope, temb))
         hidden = hidden[:, txt.shape[1]:]
         return hidden, temb
 

@@ -299,16 +299,28 @@ class AdaLayerNormContinuous(nn.Module):
 
 
 class FeedForward(nn.Module):
-    """gelu(tanh) MLP, dim -> mult*dim -> dim (diffusers FeedForward)."""
+    """gelu(tanh) MLP, dim -> mult*dim -> dim (diffusers FeedForward).
+
+    ``moe_experts > 0`` swaps in the expert-choice MoE FFN
+    (``MoEFeedForward`` below, beyond-reference capability) — params land
+    under a ``moe`` scope so the EP placement (`parallel.shard_state`)
+    and partitions can address them by path."""
 
     dim: int
     mult: int = 4
     lora_rank: int = 0
     lora_dropout: float = 0.0
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.0
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        if self.moe_experts > 0:
+            return MoEFeedForward(
+                self.dim, self.moe_experts,
+                capacity_factor=self.moe_capacity_factor, mult=self.mult,
+                dtype=self.dtype, name='moe')(x)
         h = LoRADense(self.dim * self.mult, lora_rank=self.lora_rank,
             lora_dropout=self.lora_dropout,
                       dtype=self.dtype, name='in_proj')(x)
@@ -317,6 +329,75 @@ class FeedForward(nn.Module):
             LoRADense(self.dim, lora_rank=self.lora_rank,
                 lora_dropout=self.lora_dropout, dtype=self.dtype,
                       name='out_proj')(h), 'residual')
+
+
+class MoEFeedForward(nn.Module):
+    """Mixture-of-experts FFN with expert-choice routing — a capability
+    beyond the reference (SURVEY.md §2.4: EP/MoE ABSENT), designed
+    TPU-first:
+
+      * **expert-choice routing** (each of the E experts picks its top-C
+        tokens, C = S·capacity_factor/E): static shapes, perfect load
+        balance by construction — no balancing loss, no token-drop
+        bookkeeping, nothing data-dependent for XLA to choke on. Tokens
+        can be picked by several experts (weighted by the router) or by
+        none (the residual stream carries them unchanged);
+      * **dense one-hot dispatch/combine**: gather/scatter become einsums
+        against a (B, E, C, S) one-hot — matmuls the MXU eats, the
+        standard TPU MoE formulation;
+      * **expert parallelism** (EP): weights (E, D, F) shard their expert
+        dim over the 'expert' mesh axis and the dispatched (B, E, C, D)
+        activations pin the same axis (``shard_activation('experts')``) —
+        each expert's FFN is local to its shard and GSPMD reduces only
+        the combine contraction. Composes with TP: the wide FFN dim goes
+        column-parallel via 'experts_hidden'.
+
+    Router math in fp32 (softmax over experts per token); expert compute
+    in ``dtype``.
+    """
+
+    dim: int
+    num_experts: int
+    capacity_factor: float = 1.0
+    mult: int = 4
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, s, d = x.shape
+        e = self.num_experts
+        c = max(1, int(s * self.capacity_factor) // e)
+        hidden = self.dim * self.mult
+
+        router = self.param('router', nn.initializers.lecun_normal(),
+                            (d, e), jnp.float32)
+        scores = jax.nn.softmax(
+            x.astype(jnp.float32) @ router, axis=-1)          # (B, S, E)
+        # expert choice: per expert, the C highest-scoring tokens
+        gates, idx = jax.lax.top_k(scores.transpose(0, 2, 1), c)  # (B, E, C)
+        onehot = jax.nn.one_hot(idx, s, dtype=self.dtype)     # (B, E, C, S)
+
+        xin = shard_activation(
+            jnp.einsum('becs,bsd->becd', onehot, x.astype(self.dtype)),
+            'experts')
+        w_in = self.param('w_in', nn.initializers.lecun_normal(),
+                          (e, d, hidden), jnp.float32)
+        b_in = self.param('b_in', nn.initializers.zeros, (e, hidden),
+                          jnp.float32)
+        h = jnp.einsum('becd,edf->becf', xin, w_in.astype(self.dtype))
+        h = nn.gelu(h + b_in[None, :, None].astype(self.dtype),
+                    approximate=True)
+        h = shard_activation(h, 'experts_hidden')
+        w_out = self.param('w_out', nn.initializers.lecun_normal(),
+                           (e, hidden, d), jnp.float32)
+        b_out = self.param('b_out', nn.initializers.zeros, (e, d),
+                           jnp.float32)
+        out = jnp.einsum('becf,efd->becd', h, w_out.astype(self.dtype))
+        out = shard_activation(out + b_out[None, :, None].astype(self.dtype),
+                               'experts')
+        y = jnp.einsum('becs,becd,bec->bsd', onehot, out,
+                       gates.astype(self.dtype))
+        return shard_activation(y, 'residual')
 
 
 # ---- rotary embeddings -------------------------------------------------------
@@ -372,8 +453,18 @@ def key_padding_mask(mask, s_kv: int) -> Optional[Array]:
 
 
 def _flash_ok(q: Array, mask) -> bool:
-    from ..parallel.mesh import sequence_parallel_active
+    from ..parallel.mesh import _ACT, pipeline_active, \
+        sequence_parallel_active
     b, s, h, d = q.shape
+    if pipeline_active():
+        # inside the pipeline stage body (manual over 'pipe'): the Pallas
+        # call is fine while every auto axis is trivial, but GSPMD cannot
+        # partition a custom call over an active auto axis (e.g. a
+        # data-sharded batch) — XLA attention handles those
+        mesh = _ACT['mesh']
+        if any(mesh.shape[a] > 1 for a in mesh.shape
+               if a != _ACT['pipe_axis']):
+            return False
     # a `jax.default_device(cpu)` context (host-side init / weight quantize
     # on a TPU-backed process) lowers for CPU even though the default
     # *backend* is still 'tpu' — Pallas can't execute there

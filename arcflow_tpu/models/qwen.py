@@ -141,16 +141,19 @@ class QwenBackbone(nn.Module):
         ids = jnp.concatenate([txt_ids, img_ids], axis=0)
         rope = rope_frequencies(ids, self.axes_dims_rope, self.rope_theta)
 
-        from .flux import _scan_blocks
+        from .flux import _apply_stacked_blocks, _scan_blocks
+        block_kw = dict(dim=self.inner_dim,
+                        num_heads=self.num_attention_heads,
+                        head_dim=self.attention_head_dim,
+                        lora_rank=self.lora_rank,
+                        lora_dropout=self.lora_dropout, dtype=dt)
         blocks = _scan_blocks(
             QwenJointBlock, self.num_layers, 'transformer_blocks',
-            remat=self.checkpointing, dim=self.inner_dim,
-            num_heads=self.num_attention_heads,
-            head_dim=self.attention_head_dim, lora_rank=self.lora_rank,
-                lora_dropout=self.lora_dropout,
-            dtype=dt)
-        (img, txt), _ = blocks((img, txt),
-                               (rope, temb, encoder_hidden_states_mask))
+            remat=self.checkpointing, **block_kw)
+        img, txt = _apply_stacked_blocks(
+            self, blocks, 'transformer_blocks', QwenJointBlock,
+            self.num_layers, self.checkpointing, block_kw, (img, txt),
+            (rope, temb, encoder_hidden_states_mask))
         return img, temb
 
 

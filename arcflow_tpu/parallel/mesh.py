@@ -178,17 +178,41 @@ def batch_sharding(mesh: Mesh, axis='data', extra=('fsdp',)) -> NamedSharding:
 
 
 def shard_state(state, mesh: Mesh, fsdp_axis: str = 'fsdp',
-                tensor_axis: Optional[str] = None, min_size: int = 2 ** 16):
+                tensor_axis: Optional[str] = None, min_size: int = 2 ** 16,
+                pipe_axis: Optional[str] = 'pipe',
+                stacked_markers: Sequence[str] = ('blocks',),
+                expert_axis: Optional[str] = 'expert',
+                moe_markers: Sequence[str] = ('moe',)):
     """Place a TrainState on the mesh: large params/opt-state/EMA sharded over
     fsdp (+ optional tensor axis on feature dims), scalars/rng replicated.
+    When the mesh has an active ``pipe_axis``, scan-stacked block leaves
+    (path contains a ``stacked_markers`` substring) pin their layer dim to
+    it (parallel/pipeline.py — each pipeline stage owns its layers); with
+    an active ``expert_axis``, MoE leaves (``moe_markers``) pin their
+    expert dim to it (EP — each device owns its experts).
     Returns (sharded_state, sharding_tree)."""
     fsdp_size = mesh.shape.get(fsdp_axis, 1) if fsdp_axis else 1
     tensor_size = mesh.shape.get(tensor_axis, 1) if tensor_axis else 1
+    pipe_size = mesh.shape.get(pipe_axis, 1) if pipe_axis else 1
+    expert_size = mesh.shape.get(expert_axis, 1) if expert_axis else 1
 
-    def spec_of(x):
+    def spec_of(path, x):
+        ps = '/'.join(str(getattr(k, 'key', k)) for k in path)
+        stacked = any(m in ps for m in stacked_markers)
+        if expert_size > 1 and any(m in ps for m in moe_markers):
+            return NamedSharding(mesh, moe_param_spec(
+                x, expert_axis, expert_size, stacked=stacked,
+                pipe_axis=pipe_axis, pipe_size=pipe_size,
+                fsdp_axis=fsdp_axis, fsdp_size=fsdp_size,
+                tensor_axis=tensor_axis, tensor_size=tensor_size,
+                min_size=min_size))
+        if pipe_size > 1 and stacked:
+            return NamedSharding(mesh, stacked_param_spec(
+                x, pipe_axis, pipe_size, fsdp_axis, fsdp_size,
+                tensor_axis, tensor_size, min_size))
         return NamedSharding(mesh, param_spec_for(
             x, fsdp_axis, fsdp_size, tensor_axis, tensor_size, min_size))
-    shardings = jax.tree.map(spec_of, state)
+    shardings = jax.tree_util.tree_map_with_path(spec_of, state)
     placed = jax.tree.map(
         lambda x, s: jax.device_put(x, s), state, shardings)
     return placed, shardings
@@ -203,14 +227,19 @@ def shard_state(state, mesh: Mesh, fsdp_axis: str = 'fsdp',
 # out projections with a psum) by itself.
 
 _ACT = {'mesh': None, 'batch_axes': ('data', 'fsdp'),
-        'tensor_axis': 'tensor', 'sp_axis': 'sp', 'sp_mode': 'ulysses'}
+        'tensor_axis': 'tensor', 'sp_axis': 'sp', 'sp_mode': 'ulysses',
+        'pipe_axis': 'pipe', 'pipe_microbatches': None,
+        'expert_axis': 'expert'}
 
 
 def set_activation_sharding(mesh: Optional[Mesh],
                             batch_axes: Sequence[str] = ('data', 'fsdp'),
                             tensor_axis: str = 'tensor',
                             sp_axis: str = 'sp',
-                            sp_mode: str = 'ulysses') -> None:
+                            sp_mode: str = 'ulysses',
+                            pipe_axis: str = 'pipe',
+                            pipe_microbatches: Optional[int] = None,
+                            expert_axis: str = 'expert') -> None:
     """Enable activation constraints inside model code (trace-time global:
     set it before the train/inference step is first traced).
 
@@ -227,10 +256,24 @@ def set_activation_sharding(mesh: Optional[Mesh],
         K/V blocks rotate the ring (parallel/ring_attention.py) — no
         device ever holds the full sequence, so S scales past the point
         where a head slice's full-S workspace fits, and sp need not
-        divide the head count."""
+        divide the head count.
+
+    ``pipe_axis`` adds pipeline parallelism (also absent in the reference;
+    parallel/pipeline.py): the scan-stacked DiT block params shard their
+    layer dim over ``pipe`` and run as a microbatched GPipe schedule —
+    weights never move, activations hop stage-to-stage over ICI.
+    ``pipe_microbatches`` overrides the microbatch count (default: the
+    stage count).
+
+    ``expert_axis`` adds expert parallelism for MoE layers (also absent in
+    the reference): expert weights (E, D, F) shard their expert dim over
+    it and the dispatched (B, E, C, D) activations pin the same axis, so
+    GSPMD keeps each expert's FFN local and reduces only the combine."""
     assert sp_mode in ('ulysses', 'ring'), sp_mode
     _ACT.update(mesh=mesh, batch_axes=tuple(batch_axes),
-                tensor_axis=tensor_axis, sp_axis=sp_axis, sp_mode=sp_mode)
+                tensor_axis=tensor_axis, sp_axis=sp_axis, sp_mode=sp_mode,
+                pipe_axis=pipe_axis, pipe_microbatches=pipe_microbatches,
+                expert_axis=expert_axis)
 
 
 def sequence_parallel_active() -> bool:
@@ -242,6 +285,76 @@ def sequence_parallel_active() -> bool:
         return False
     return (mesh.shape.get(_ACT['tensor_axis'], 1) > 1
             or mesh.shape.get(_ACT['sp_axis'], 1) > 1)
+
+
+def pipeline_active() -> bool:
+    """True when the ambient mesh pipelines the DiT blocks over a 'pipe'
+    axis (parallel/pipeline.py). Block bodies then run inside a shard_map
+    manual over pipe — a region where a *nested* manual shard_map cannot
+    open, so the Ulysses/ring attention partitions (and, when any auto
+    axis is >1, the Pallas flash kernel) must stand down in favour of
+    GSPMD-partitionable XLA attention."""
+    mesh = _ACT['mesh']
+    return mesh is not None and mesh.shape.get(_ACT['pipe_axis'], 1) > 1
+
+
+def stacked_param_spec(x, pipe_axis: str, pipe_size: int,
+                       fsdp_axis: Optional[str] = None, fsdp_size: int = 1,
+                       tensor_axis: Optional[str] = None,
+                       tensor_size: int = 1, min_size: int = 2 ** 16) -> P:
+    """Spec for a scan-stacked block parameter (L, ...): the layer dim
+    shards over 'pipe' (each pipeline stage holds its own layers — weights
+    never move); remaining dims keep the usual TP/FSDP placement."""
+    if not hasattr(x, 'shape') or x.ndim < 1 or x.shape[0] % pipe_size != 0:
+        return param_spec_for(x, fsdp_axis, fsdp_size, tensor_axis,
+                              tensor_size, min_size)
+    spec = [None] * x.ndim
+    spec[0] = pipe_axis
+    if x.size >= min_size:
+        if (tensor_axis and tensor_size > 1 and x.ndim >= 2
+                and x.shape[-1] % tensor_size == 0):
+            spec[-1] = tensor_axis
+        if fsdp_axis and fsdp_size > 1:
+            dims = sorted(range(1, x.ndim), key=lambda d: -x.shape[d])
+            for d in dims:
+                if spec[d] is None and x.shape[d] % fsdp_size == 0 \
+                        and x.shape[d] >= fsdp_size:
+                    spec[d] = fsdp_axis
+                    break
+    return P(*spec)
+
+
+def moe_param_spec(x, expert_axis: str, expert_size: int,
+                   stacked: bool = False, pipe_axis: Optional[str] = None,
+                   pipe_size: int = 1, fsdp_axis: Optional[str] = None,
+                   fsdp_size: int = 1, tensor_axis: Optional[str] = None,
+                   tensor_size: int = 1, min_size: int = 2 ** 16) -> P:
+    """Spec for an MoE expert parameter: (E, D, F) — or (L, E, D, F) when
+    ``stacked`` under nn.scan blocks — pins the expert dim to the expert
+    axis (each device owns its experts, EP), the layer dim to pipe when
+    active, and the remaining dims to the usual TP/FSDP placement."""
+    if not hasattr(x, 'shape') or x.ndim < 1:
+        return P()
+    spec = [None] * x.ndim
+    ed = 0
+    if stacked:
+        ed = 1
+        if pipe_axis and pipe_size > 1 and x.shape[0] % pipe_size == 0:
+            spec[0] = pipe_axis
+    if expert_size > 1 and x.ndim > ed and x.shape[ed] % expert_size == 0:
+        spec[ed] = expert_axis
+    if x.size >= min_size:
+        if (tensor_axis and tensor_size > 1 and x.ndim >= ed + 2
+                and x.shape[-1] % tensor_size == 0):
+            spec[-1] = tensor_axis
+        if fsdp_axis and fsdp_size > 1:
+            dims = sorted(range(ed + 1, x.ndim), key=lambda d: -x.shape[d])
+            for d in dims:
+                if spec[d] is None and x.shape[d] % fsdp_size == 0 \
+                        and x.shape[d] >= fsdp_size:
+                    spec[d] = fsdp_axis
+                    break
+    return P(*spec)
 
 
 def heads_partition(q_shape) -> Optional[Tuple[Mesh, P]]:
@@ -256,7 +369,8 @@ def heads_partition(q_shape) -> Optional[Tuple[Mesh, P]]:
     ``shard_activation(x, 'heads')`` pins.
     """
     mesh = _ACT['mesh']
-    if mesh is None or _ACT.get('sp_mode', 'ulysses') == 'ring':
+    if mesh is None or _ACT.get('sp_mode', 'ulysses') == 'ring' \
+            or pipeline_active():
         return None
     head_axes = tuple(a for a in (_ACT['sp_axis'], _ACT['tensor_axis'])
                       if mesh.shape.get(a, 1) > 1)
@@ -354,6 +468,19 @@ def shard_activation(x, kind: str):
         if tp and x.shape[-1] % mesh.shape[tp] != 0:
             tp = None
         spec = P(batch, sp, tp)
+    elif kind in ('experts', 'experts_hidden'):
+        # MoE dispatched activations (B, E, C, D|F): experts over the
+        # expert axis — each expert's FFN stays local to its shard;
+        # 'experts_hidden' additionally puts the wide FFN dim on tensor
+        # (column-parallel expert weights)
+        ep = _ACT['expert_axis'] \
+            if mesh.shape.get(_ACT['expert_axis'], 1) > 1 else None
+        if ep and x.shape[1] % mesh.shape[ep] != 0:
+            ep = None
+        if kind == 'experts' or not tp \
+                or x.shape[-1] % mesh.shape[tp] != 0:
+            tp = None
+        spec = P(batch, ep, None, tp)
     else:
         return x
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

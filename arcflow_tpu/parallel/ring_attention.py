@@ -297,9 +297,10 @@ def ring_partition(q_shape) -> Optional[Tuple[Mesh, str, object, Tuple]]:
     present, H %% tensor == 0 (head shards) — note no constraint ties sp to
     the head count, which is exactly ring's advantage over Ulysses.
     """
-    from .mesh import _ACT
+    from .mesh import _ACT, pipeline_active
     mesh = _ACT['mesh']
-    if mesh is None or _ACT.get('sp_mode', 'ulysses') != 'ring':
+    if mesh is None or _ACT.get('sp_mode', 'ulysses') != 'ring' \
+            or pipeline_active():
         return None
     sp = _ACT['sp_axis']
     if mesh.shape.get(sp, 1) <= 1 or q_shape[1] % mesh.shape[sp] != 0:
