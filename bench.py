@@ -147,17 +147,34 @@ def build(num_layers, num_single_layers, latent=128, txt=512, k=16,
     if mesh is not None:
         # sharded inference: params over fsdp(+tensor), activations pinned
         # (the multi-chip path for the full 12B geometry; runs wherever
-        # >1 devices exist — the 1-chip bench env uses mesh=None)
+        # >1 devices exist — the 1-chip bench env uses mesh=None). A
+        # 'pipe'/'expert' mesh axis additionally pins the scan-stacked
+        # block layer dim / MoE expert dim (path-aware specs).
         from jax.sharding import NamedSharding
-        from arcflow_tpu.parallel import (param_spec_for,
-                                          set_activation_sharding)
+        from arcflow_tpu.parallel import (moe_param_spec, param_spec_for,
+                                          set_activation_sharding,
+                                          stacked_param_spec)
         set_activation_sharding(mesh, sp_mode=sp_mode)
         fsdp = mesh.shape.get('fsdp', 1)
         tensor = mesh.shape.get('tensor', 1)
+        pipe = mesh.shape.get('pipe', 1)
+        expert = mesh.shape.get('expert', 1)
         shapes = jax.eval_shape(init_fn, ks[3])
-        shardings = jax.tree.map(
-            lambda x: NamedSharding(mesh, param_spec_for(
-                x, 'fsdp', fsdp, 'tensor', tensor)), shapes)
+
+        def spec_of(path, x):
+            ps = '/'.join(str(getattr(kk, 'key', kk)) for kk in path)
+            stacked = 'blocks' in ps
+            if expert > 1 and 'moe' in ps:
+                return NamedSharding(mesh, moe_param_spec(
+                    x, 'expert', expert, stacked=stacked, pipe_axis='pipe',
+                    pipe_size=pipe, fsdp_axis='fsdp', fsdp_size=fsdp,
+                    tensor_axis='tensor', tensor_size=tensor))
+            if pipe > 1 and stacked:
+                return NamedSharding(mesh, stacked_param_spec(
+                    x, 'pipe', pipe, 'fsdp', fsdp, 'tensor', tensor))
+            return NamedSharding(mesh, param_spec_for(
+                x, 'fsdp', fsdp, 'tensor', tensor))
+        shardings = jax.tree_util.tree_map_with_path(spec_of, shapes)
         params = jax.jit(init_fn, out_shardings=shardings)(ks[3])
     else:
         params = jax.jit(init_fn)(ks[3])
@@ -455,7 +472,8 @@ def bench_aot_12b(mesh_axes=None, batch_per_chip=1, latent=128, txt=512):
     from arcflow_tpu.models import LatentDiffusionTextImage
     from arcflow_tpu.parallel import (audit_compiled, batch_axes, make_mesh,
                                       param_spec_for,
-                                      set_activation_sharding, tree_bytes)
+                                      set_activation_sharding,
+                                      stacked_param_spec, tree_bytes)
     from arcflow_tpu.runner import EmaConfig, TrainState, build_train_step
 
     mesh = make_mesh(dict(mesh_axes or {'data': 2, 'fsdp': 4}))
@@ -504,12 +522,20 @@ def bench_aot_12b(mesh_axes=None, batch_per_chip=1, latent=128, txt=512):
         f'({time.perf_counter() - t0:.1f}s)')
 
     fsdp = mesh.shape.get('fsdp', 1)
+    pipe = mesh.shape.get('pipe', 1)
 
-    def abstract(sd):
-        sh = NamedSharding(mesh, param_spec_for(sd, 'fsdp', fsdp))
+    def abstract(path, sd):
+        ps = '/'.join(str(getattr(kk, 'key', kk)) for kk in path)
+        if pipe > 1 and 'blocks' in ps:
+            # pipeline placement: the scan-stacked layer dim over 'pipe'
+            # (each stage owns its layers; weights never all-gather)
+            spec = stacked_param_spec(sd, 'pipe', pipe, 'fsdp', fsdp)
+        else:
+            spec = param_spec_for(sd, 'fsdp', fsdp)
+        sh = NamedSharding(mesh, spec)
         return jax.ShapeDtypeStruct(sd.shape, sd.dtype, sharding=sh)
 
-    state_abs = jax.tree.map(abstract, state)
+    state_abs = jax.tree_util.tree_map_with_path(abstract, state)
     n_dev = int(np.prod(list(mesh.shape.values())))
     bs = batch_per_chip * n_dev
     bsh = NamedSharding(mesh, P(tuple(batch_axes(mesh))))

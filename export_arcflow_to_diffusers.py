@@ -25,8 +25,16 @@ def main():
     p.add_argument('out_dir')
     p.add_argument('--step', type=int, default=None)
     p.add_argument('--no-ema', action='store_true')
+    p.add_argument('--platform', default=None, choices=['cpu', 'tpu'],
+                   help='pin the jax platform; export is pure checkpoint '
+                        'IO, so --platform cpu avoids waiting on a TPU '
+                        'grant entirely (the env var route is overridden '
+                        'by site configs — this flag sets jax.config)')
     args = p.parse_args()
 
+    if args.platform:
+        from arcflow_tpu.utils.env import setup_jax
+        setup_jax(force_platform=args.platform)
     cfg = Config.fromfile(args.config)
     raw = load_raw_checkpoint(args.checkpoint_dir, step=args.step)
     src = raw['trainable'] if args.no_ema or not raw.get('ema') else raw['ema']

@@ -90,9 +90,12 @@ def test_export_cli_roundtrip(tmp_path):
         f'                   pretrained="/nonexistent", **{tiny!r})))\n'
         'test_cfg = dict(nfe=2, timestep_ratio=1.0, total_substeps=128)\n')
     out_dir = tmp_path / 'exported'
+    # --platform cpu: export is pure checkpoint IO; without it the
+    # subprocess waits on the tunneled TPU grant (can exceed 10 min when
+    # the tunnel is re-arming — see CLAUDE.md env gotchas)
     r = subprocess.run(
         [sys.executable, 'export_arcflow_to_diffusers.py', str(cfg_py),
-         str(tmp_path / 'ck'), str(out_dir)],
+         str(tmp_path / 'ck'), str(out_dir), '--platform', 'cpu'],
         cwd=REPO, capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
 
