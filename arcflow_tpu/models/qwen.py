@@ -34,13 +34,19 @@ ARCQWEN_ADAPTER_KEYS = ('proj_out_means', 'proj_out_logweights',
 
 
 class QwenJointBlock(nn.Module):
-    """Dual-stream MMDiT block with text-mask-aware joint attention."""
+    """Dual-stream MMDiT block with text-mask-aware joint attention.
+
+    ``moe_experts > 0`` swaps both stream MLPs for expert-choice MoE FFNs
+    (layers.MoEFeedForward — beyond-reference; EP over the 'expert'
+    mesh axis), same surface as FluxJointBlock."""
 
     dim: int
     num_heads: int
     head_dim: int
     lora_rank: int = 0
     lora_dropout: float = 0.0
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.0
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -71,11 +77,15 @@ class QwenJointBlock(nn.Module):
         h_txt = layer_norm_no_affine(txt) * (1 + scale_mlp_t) + shift_mlp_t
         img = img + gate_mlp_i * FeedForward(
             self.dim, lora_rank=self.lora_rank,
-                lora_dropout=self.lora_dropout, dtype=self.dtype,
+                lora_dropout=self.lora_dropout,
+            moe_experts=self.moe_experts,
+            moe_capacity_factor=self.moe_capacity_factor, dtype=self.dtype,
             name='ff_img')(h_img)
         txt = txt + gate_mlp_t * FeedForward(
             self.dim, lora_rank=self.lora_rank,
-                lora_dropout=self.lora_dropout, dtype=self.dtype,
+                lora_dropout=self.lora_dropout,
+            moe_experts=self.moe_experts,
+            moe_capacity_factor=self.moe_capacity_factor, dtype=self.dtype,
             name='ff_txt')(h_txt)
         return (img, txt), None
 
@@ -105,6 +115,8 @@ class QwenBackbone(nn.Module):
     max_text_len: Optional[int] = None
     lora_rank: int = 0
     lora_dropout: float = 0.0
+    moe_experts: int = 0              # >0: MoE joint-block MLPs (EP-ready)
+    moe_capacity_factor: float = 1.0
     checkpointing: bool = True
     dtype: Dtype = jnp.bfloat16
 
@@ -146,7 +158,10 @@ class QwenBackbone(nn.Module):
                         num_heads=self.num_attention_heads,
                         head_dim=self.attention_head_dim,
                         lora_rank=self.lora_rank,
-                        lora_dropout=self.lora_dropout, dtype=dt)
+                        lora_dropout=self.lora_dropout,
+                        moe_experts=self.moe_experts,
+                        moe_capacity_factor=self.moe_capacity_factor,
+                        dtype=dt)
         blocks = _scan_blocks(
             QwenJointBlock, self.num_layers, 'transformer_blocks',
             remat=self.checkpointing, **block_kw)

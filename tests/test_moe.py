@@ -99,6 +99,29 @@ def test_expert_parallel_matches_unsharded():
                                    atol=2e-4, err_msg=k)
 
 
+def test_qwen_moe_model_runs():
+    """The Qwen family exposes the same MoE surface: tiny ArcQwen with
+    moe_experts=2 initializes MoE params under the blocks and produces a
+    finite mixture output."""
+    from arcflow_tpu.models import ArcQwenImageTransformer2DModel
+    model = ArcQwenImageTransformer2DModel(
+        in_channels=16, num_layers=2, attention_head_dim=16,
+        num_attention_heads=4, joint_attention_dim=32,
+        axes_dims_rope=(4, 6, 6), patch_size=2, num_gaussians=4,
+        moe_experts=2, checkpointing=False)
+    ks = jax.random.split(jax.random.PRNGKey(8), 3)
+    mask = jnp.array([[1] * 6 + [0] * 2] * 2, jnp.int32)
+    inputs = dict(
+        hidden_states=jax.random.normal(ks[0], (2, 8, 8, 4)),
+        t=jnp.full((2,), 0.5),
+        encoder_hidden_states=jax.random.normal(ks[1], (2, 8, 32)),
+        encoder_hidden_states_mask=mask)
+    params = model.init(ks[2], **inputs)['params']
+    assert 'moe' in params['transformer_blocks']['ff_txt']
+    out = model.apply({'params': params}, **inputs)
+    assert bool(jnp.all(jnp.isfinite(out['means'])))
+
+
 def test_flux_moe_model_forward_and_ep_mesh():
     """Tiny ArcFlux with MoE joint-block MLPs: params land under
     ff_*/moe/*, the model runs, and the EP-sharded forward matches the
