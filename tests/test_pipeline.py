@@ -243,6 +243,30 @@ def test_pipeline_program_keeps_weights_put():
         stats, block_bytes)
 
 
+def test_pipeline_with_int8_quantized_weights():
+    """Serving path: the 'quant' collection (per-layer int8 scales) rides
+    the pipeline with the stacked params — pipelined int8 forward matches
+    the unsharded int8 forward."""
+    from arcflow_tpu.utils.quantize import quantize_weights_int8
+
+    model = _tiny_flux(checkpointing=False)
+    inputs, k = _flux_inputs(seed=11)
+    params = model.init(k, **inputs)['params']
+    qparams, quant = quantize_weights_int8(params, min_size=1024)
+    variables = {'params': qparams, 'quant': quant}
+    ref = model.apply(variables, **inputs)
+
+    mesh = make_mesh({'pipe': 4, 'data': 2})
+    v_sh = _place_pipelined(variables, mesh)
+    sh_inputs = shard_batch(inputs, mesh)
+    with activation_sharding(mesh):
+        got = jax.jit(lambda v, kw: model.apply(v, **kw))(v_sh, sh_inputs)
+    for key in ('means', 'logweights', 'loggammas'):
+        np.testing.assert_allclose(np.asarray(got[key]),
+                                   np.asarray(ref[key]), rtol=2e-3,
+                                   atol=2e-4, err_msg=key)
+
+
 def test_qwen_pipeline_forward_matches_unsharded():
     """Qwen's 60-block family (here 4 blocks) with its text key mask under
     the pipeline schedule."""
