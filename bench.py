@@ -658,8 +658,11 @@ def main():
             axes = {k: int(v) for k, v in
                     (kv.split('=') for kv in args_cli.mesh.split(','))}
         out = bench_aot_12b(mesh_axes=axes, batch_per_chip=args_cli.batch)
+        # a pipe-mesh audit gets its own artifact so the flagship FSDP
+        # evidence (AOT_12B.json) is never clobbered by a PP experiment
+        suffix = '_PP' if (axes or {}).get('pipe', 1) > 1 else ''
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            'AOT_12B.json')
+                            f'AOT_12B{suffix}.json')
         with open(path, 'w') as f:
             json.dump(out, f, indent=1)
         log(f'wrote {path}')
