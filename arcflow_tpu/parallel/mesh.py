@@ -177,6 +177,36 @@ def batch_sharding(mesh: Mesh, axis='data', extra=('fsdp',)) -> NamedSharding:
     return NamedSharding(mesh, P(batch_axes(mesh, axis, extra)))
 
 
+def param_spec_for_path(path: str, x, mesh: Mesh,
+                        fsdp_axis: Optional[str] = 'fsdp',
+                        tensor_axis: Optional[str] = 'tensor',
+                        pipe_axis: Optional[str] = 'pipe',
+                        expert_axis: Optional[str] = 'expert',
+                        stacked_markers: Sequence[str] = ('blocks',),
+                        moe_markers: Sequence[str] = ('moe',),
+                        min_size: int = 2 ** 16) -> P:
+    """Path-aware placement spec for one parameter: the single source of
+    truth dispatching between MoE expert leaves (expert dim -> 'expert'),
+    scan-stacked block leaves (layer dim -> 'pipe') and the generic
+    TP+ZeRO-3 rule — used by ``shard_state``, the bench builds and the
+    serving pipelines."""
+    def size(axis):
+        return mesh.shape.get(axis, 1) if axis else 1
+    fsdp, tensor = size(fsdp_axis), size(tensor_axis)
+    pipe, expert = size(pipe_axis), size(expert_axis)
+    stacked = any(m in path for m in stacked_markers)
+    if expert > 1 and any(m in path for m in moe_markers):
+        return moe_param_spec(x, expert_axis, expert, stacked=stacked,
+                              pipe_axis=pipe_axis, pipe_size=pipe,
+                              fsdp_axis=fsdp_axis, fsdp_size=fsdp,
+                              tensor_axis=tensor_axis, tensor_size=tensor,
+                              min_size=min_size)
+    if pipe > 1 and stacked:
+        return stacked_param_spec(x, pipe_axis, pipe, fsdp_axis, fsdp,
+                                  tensor_axis, tensor, min_size)
+    return param_spec_for(x, fsdp_axis, fsdp, tensor_axis, tensor, min_size)
+
+
 def shard_state(state, mesh: Mesh, fsdp_axis: str = 'fsdp',
                 tensor_axis: Optional[str] = None, min_size: int = 2 ** 16,
                 pipe_axis: Optional[str] = 'pipe',
@@ -191,27 +221,13 @@ def shard_state(state, mesh: Mesh, fsdp_axis: str = 'fsdp',
     an active ``expert_axis``, MoE leaves (``moe_markers``) pin their
     expert dim to it (EP — each device owns its experts).
     Returns (sharded_state, sharding_tree)."""
-    fsdp_size = mesh.shape.get(fsdp_axis, 1) if fsdp_axis else 1
-    tensor_size = mesh.shape.get(tensor_axis, 1) if tensor_axis else 1
-    pipe_size = mesh.shape.get(pipe_axis, 1) if pipe_axis else 1
-    expert_size = mesh.shape.get(expert_axis, 1) if expert_axis else 1
-
     def spec_of(path, x):
         ps = '/'.join(str(getattr(k, 'key', k)) for k in path)
-        stacked = any(m in ps for m in stacked_markers)
-        if expert_size > 1 and any(m in ps for m in moe_markers):
-            return NamedSharding(mesh, moe_param_spec(
-                x, expert_axis, expert_size, stacked=stacked,
-                pipe_axis=pipe_axis, pipe_size=pipe_size,
-                fsdp_axis=fsdp_axis, fsdp_size=fsdp_size,
-                tensor_axis=tensor_axis, tensor_size=tensor_size,
-                min_size=min_size))
-        if pipe_size > 1 and stacked:
-            return NamedSharding(mesh, stacked_param_spec(
-                x, pipe_axis, pipe_size, fsdp_axis, fsdp_size,
-                tensor_axis, tensor_size, min_size))
-        return NamedSharding(mesh, param_spec_for(
-            x, fsdp_axis, fsdp_size, tensor_axis, tensor_size, min_size))
+        return NamedSharding(mesh, param_spec_for_path(
+            ps, x, mesh, fsdp_axis=fsdp_axis, tensor_axis=tensor_axis,
+            pipe_axis=pipe_axis, expert_axis=expert_axis,
+            stacked_markers=stacked_markers, moe_markers=moe_markers,
+            min_size=min_size))
     shardings = jax.tree_util.tree_map_with_path(spec_of, state)
     placed = jax.tree.map(
         lambda x, s: jax.device_put(x, s), state, shardings)

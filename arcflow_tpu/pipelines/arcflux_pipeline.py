@@ -154,6 +154,50 @@ class ArcFluxPipeline:
         self.transformer_params = {'params': qp, 'quant': quant}
         set_act_quant(act_quant)   # trace-time global; set before jit traces
 
+    def shard(self, mesh_axes: Dict[str, int], sp_mode: str = 'ulysses',
+              dcn_axes: Optional[Dict[str, int]] = None,
+              min_size: int = 2 ** 16):
+        """Place the transformer across a device mesh for multi-chip
+        serving — the reference README lists "Multi-GPU Inference" as an
+        unshipped To-Do (reference README.md:39); here it is the same one
+        mesh surface as training:
+
+          * ``fsdp`` shards the (frozen) weights, ``tensor`` the heads/MLP,
+            ``sp`` a single image's sequence (Ulysses or ring layout —
+            the single-image latency axes), ``pipe`` stages the blocks,
+            ``expert`` the MoE experts;
+          * activations pin through the same trace-time constraints as
+            training, so the next ``__call__`` compiles the sharded
+            program. Call AFTER ``load_arcflow_adapter`` / ``quantize_*``
+            (the placement maps whatever tree is current, quantized or
+            not).
+
+        Returns the mesh. Example::
+
+            pipe.quantize_int8(act_quant=True)
+            pipe.shard({'sp': 4, 'tensor': 2})   # v5p-8 single-image
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel import (make_mesh, param_spec_for_path,
+                                set_activation_sharding)
+        mesh = make_mesh(dict(mesh_axes), dcn_axes=dcn_axes)
+        set_activation_sharding(mesh, sp_mode=sp_mode)
+
+        def place(path, x):
+            ps = '/'.join(str(getattr(k, 'key', k)) for k in path)
+            spec = param_spec_for_path(ps, x, mesh, min_size=min_size)
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        self.transformer_params = jax.tree_util.tree_map_with_path(
+            place, self.transformer_params)
+        if self.vae_params is not None:
+            # the decoder is conv-bound and small: replicate, decode locally
+            self.vae_params = jax.tree.map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, P())),
+                self.vae_params)
+        self.mesh = mesh
+        return mesh
+
     # ---- inference ------------------------------------------------------------
     def encode_prompt(self, prompt: Sequence[str]) -> Dict[str, Array]:
         assert self.text_encoder is not None, \

@@ -29,6 +29,12 @@ def main():
     p.add_argument('--w4a8', action='store_true',
                    help='int4 weights + dynamic int8 activations (Pallas '
                         'grouped matmul; fastest full-20B single-chip mode)')
+    p.add_argument('--mesh', default=None,
+                   help="multi-chip serving mesh, e.g. 'sp=4,tensor=2'; "
+                        'axes: data/fsdp/tensor/sp/pipe/expert')
+    p.add_argument('--sp-mode', choices=('ulysses', 'ring'),
+                   default='ulysses',
+                   help='sequence-parallel layout under an sp>1 mesh')
     p.add_argument('--out', default='output.png')
     args = p.parse_args()
 
@@ -53,6 +59,11 @@ def main():
         pipe.quantize_int4(act_quant=args.w4a8)
     elif args.int8 or args.w8a8:
         pipe.quantize_int8(act_quant=args.w8a8)
+    if args.mesh:
+        axes = {k: int(v) for k, v in
+                (kv.split('=') for kv in args.mesh.split(','))}
+        print('serving mesh:', dict(pipe.shard(axes,
+                                               sp_mode=args.sp_mode).shape))
     out = pipe(prompt=[args.prompt], height=args.height, width=args.width,
                seed=args.seed, output_type='pil')
     out['images'][0].save(args.out)

@@ -285,6 +285,42 @@ def test_pipeline_end_to_end_latents():
     assert np.isfinite(np.asarray(out3['latents'])).all()
 
 
+def test_pipeline_shard_multichip_serving():
+    """pipe.shard(mesh): the multi-chip serving surface (the reference's
+    unshipped 'Multi-GPU Inference' To-Do) — sharded __call__ output
+    matches the single-device pipeline, params actually land sharded."""
+    from arcflow_tpu.parallel import clear_activation_sharding
+
+    student = ArcFluxTransformer2DModel(num_gaussians=4, patch_size=2, **TINY)
+    inputs = dict(hidden_states=jnp.zeros((1, 8, 8, 4)), t=jnp.zeros((1,)),
+                  encoder_hidden_states=jnp.zeros((1, 6, 64)),
+                  pooled_projections=jnp.zeros((1, 32)),
+                  guidance=jnp.zeros((1,)))
+    params = student.init(jax.random.PRNGKey(3), **inputs)['params']
+    embeds = dict(
+        encoder_hidden_states=jax.random.normal(jax.random.PRNGKey(4),
+                                                (2, 6, 64)),
+        pooled_projections=jax.random.normal(jax.random.PRNGKey(5), (2, 32)))
+
+    pipe = ArcFluxPipeline(student, params, nfe=2, guidance_scale=3.5)
+    ref = np.asarray(pipe(prompt_embeds=embeds, height=64, width=64,
+                          seed=1)['latents'])
+
+    pipe_s = ArcFluxPipeline(student, params, nfe=2, guidance_scale=3.5)
+    try:
+        mesh = pipe_s.shard({'data': 2, 'fsdp': 2, 'tensor': 2},
+                            min_size=1024)
+        assert dict(mesh.shape) == {'data': 2, 'fsdp': 2, 'tensor': 2}
+        leaf = pipe_s.transformer_params['joint_blocks']['attn'][
+            'img_q']['kernel']
+        assert not leaf.sharding.is_fully_replicated
+        got = np.asarray(pipe_s(prompt_embeds=embeds, height=64, width=64,
+                                seed=1)['latents'])
+    finally:
+        clear_activation_sharding()
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+
 def test_pipeline_int8_quantized_sampling():
     """pipe.quantize_int8(): the 'quant' collection flows through
     forward_test; w8-only output stays close to bf16, w8a8 stays finite."""
