@@ -169,7 +169,8 @@ def _place_pipelined(params, mesh):
 
 
 @pytest.mark.parametrize('axes', [{'pipe': 2, 'data': 2, 'tensor': 2},
-                                  {'pipe': 4, 'data': 2}])
+                                  {'pipe': 4, 'data': 2},
+                                  {'pipe': 2, 'sp': 2, 'data': 2}])
 def test_flux_pipeline_forward_matches_unsharded(axes):
     model = _tiny_flux(checkpointing=False)
     inputs, k = _flux_inputs()
