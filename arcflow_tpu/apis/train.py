@@ -78,7 +78,8 @@ def train_model(cfg: Config, work_dir: Optional[str] = None,
             mesh, tensor_axis=parallel_cfg.get('tensor_axis') or 'tensor',
             sp_mode=parallel_cfg.get('sp_mode', 'ulysses'),
             pipe_axis=parallel_cfg.get('pipe_axis', 'pipe'),
-            pipe_microbatches=parallel_cfg.get('pipe_microbatches'))
+            pipe_microbatches=parallel_cfg.get('pipe_microbatches'),
+            pipe_interleave=parallel_cfg.get('pipe_interleave', 1))
         logger.info(f'mesh parallelism: {dict(mesh.shape)}')
 
     ckpt_cfg = dict(cfg.get('checkpoint_config', {}) or {})

@@ -220,7 +220,7 @@ def _apply_stacked_blocks(parent: nn.Module, scan_mod, name: str,
     if part is None:
         out, _ = scan_mod(carry, bcast)
         return out
-    mesh, axis, micro = part
+    mesh, axis, micro, interleave = part
     svars = {'params': parent.variables['params'][name]}
     quant = parent.variables.get('quant', {})
     if name in quant:
@@ -255,7 +255,8 @@ def _apply_stacked_blocks(parent: nn.Module, scan_mod, name: str,
     if remat:
         apply_layer = jax.checkpoint(apply_layer, prevent_cse=False)
     out, _ = pipeline_scan(apply_layer, svars, (carry, ride),
-                           (shared, rng), mesh, axis, micro)
+                           (shared, rng), mesh, axis, micro,
+                           interleave=interleave)
     return out
 
 

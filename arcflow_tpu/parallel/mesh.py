@@ -245,7 +245,7 @@ def shard_state(state, mesh: Mesh, fsdp_axis: str = 'fsdp',
 _ACT = {'mesh': None, 'batch_axes': ('data', 'fsdp'),
         'tensor_axis': 'tensor', 'sp_axis': 'sp', 'sp_mode': 'ulysses',
         'pipe_axis': 'pipe', 'pipe_microbatches': None,
-        'expert_axis': 'expert'}
+        'pipe_interleave': 1, 'expert_axis': 'expert'}
 
 
 def set_activation_sharding(mesh: Optional[Mesh],
@@ -255,6 +255,7 @@ def set_activation_sharding(mesh: Optional[Mesh],
                             sp_mode: str = 'ulysses',
                             pipe_axis: str = 'pipe',
                             pipe_microbatches: Optional[int] = None,
+                            pipe_interleave: int = 1,
                             expert_axis: str = 'expert') -> None:
     """Enable activation constraints inside model code (trace-time global:
     set it before the train/inference step is first traced).
@@ -279,7 +280,9 @@ def set_activation_sharding(mesh: Optional[Mesh],
     layer dim over ``pipe`` and run as a microbatched GPipe schedule —
     weights never move, activations hop stage-to-stage over ICI.
     ``pipe_microbatches`` overrides the microbatch count (default: the
-    stage count).
+    stage count); ``pipe_interleave`` > 1 selects the circular schedule
+    (V virtual stages per device, ~1/V the GPipe bubble —
+    parallel/pipeline.py).
 
     ``expert_axis`` adds expert parallelism for MoE layers (also absent in
     the reference): expert weights (E, D, F) shard their expert dim over
@@ -289,7 +292,7 @@ def set_activation_sharding(mesh: Optional[Mesh],
     _ACT.update(mesh=mesh, batch_axes=tuple(batch_axes),
                 tensor_axis=tensor_axis, sp_axis=sp_axis, sp_mode=sp_mode,
                 pipe_axis=pipe_axis, pipe_microbatches=pipe_microbatches,
-                expert_axis=expert_axis)
+                pipe_interleave=pipe_interleave, expert_axis=expert_axis)
 
 
 def sequence_parallel_active() -> bool:

@@ -45,18 +45,22 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 
 def pipe_partition(n_layers: int, batch_size: Optional[int] = None
-                   ) -> Optional[Tuple[Mesh, str, Optional[int]]]:
-    """(mesh, pipe_axis, microbatches) when the ambient activation mesh has
-    an active pipe axis that divides ``n_layers``; None otherwise (plain
-    ``nn.scan`` runs instead).
+                   ) -> Optional[Tuple[Mesh, str, Optional[int], int]]:
+    """(mesh, pipe_axis, microbatches, interleave) when the ambient
+    activation mesh has an active pipe axis that divides ``n_layers``;
+    None otherwise (plain ``nn.scan`` runs instead).
 
     ``batch_size`` (when known) additionally requires at least one valid
     microbatch split — with an indivisible batch the pipeline still runs
     with M=1 (correct, bubble-heavy), so this only rejects batch_size==0.
+
+    ``interleave`` (V > 1, the circular schedule) additionally requires
+    n_layers % (stages * V) == 0; it degrades to 1 otherwise.
     """
     from .mesh import _ACT
     mesh = _ACT['mesh']
@@ -68,7 +72,10 @@ def pipe_partition(n_layers: int, batch_size: Optional[int] = None
         return None
     if batch_size is not None and batch_size <= 0:
         return None
-    return mesh, axis, _ACT.get('pipe_microbatches')
+    interleave = int(_ACT.get('pipe_interleave', 1) or 1)
+    if interleave > 1 and n_layers % (size * interleave) != 0:
+        interleave = 1
+    return mesh, axis, _ACT.get('pipe_microbatches'), interleave
 
 
 def _pick_microbatches(batch: int, stages: int,
@@ -85,7 +92,8 @@ def _pick_microbatches(batch: int, stages: int,
 def pipeline_scan(apply_layer: Callable[[Dict, Any, Any, jax.Array], Any],
                   stacked_vars: Dict[str, Any], carry: Any, broadcast: Any,
                   mesh: Mesh, pipe_axis: str = 'pipe',
-                  microbatches: Optional[int] = None) -> Any:
+                  microbatches: Optional[int] = None,
+                  interleave: int = 1) -> Any:
     """Run ``L`` stacked layers as an S-stage GPipe pipeline over
     ``pipe_axis``; a drop-in schedule replacement for
     ``lax.scan(apply_layer, carry, stacked_vars)``.
@@ -104,6 +112,17 @@ def pipeline_scan(apply_layer: Callable[[Dict, Any, Any, jax.Array], Any],
         mesh: ambient mesh containing ``pipe_axis``.
         microbatches: batch splits M (clamped to a divisor of B);
             default = the stage count. Bubble fraction (S-1)/(M+S-1).
+        interleave: V virtual stages per device (the circular schedule):
+            each device holds V *strided* layer chunks — chunk c of S*V
+            goes to stage c mod S, one static permutation of the stacked
+            dim — and a microbatch rings around the stages V times. The
+            handoff from chunk v on the last stage to chunk v+1 on stage 0
+            is the same neighbour ppermute, which lines up exactly when
+            M == S, so V > 1 requires (and forces) M = S. Bubble drops to
+            (S-1)/(V*S + S - 1) — ~1/V of plain GPipe at M=S — for the
+            same weights-never-move property and V x the ppermute count
+            (ppermutes move one microbatch of activations, noise next to
+            the chunk matmuls).
 
     Returns:
         carry pytree after all L layers, replicated over pipe.
@@ -111,9 +130,24 @@ def pipeline_scan(apply_layer: Callable[[Dict, Any, Any, jax.Array], Any],
     stages = mesh.shape[pipe_axis]
     n_layers = jax.tree.leaves(stacked_vars)[0].shape[0]
     assert n_layers % stages == 0, (n_layers, stages)
-    l_local = n_layers // stages
     b = jax.tree.leaves(carry)[0].shape[0]
     m = _pick_microbatches(b, stages, microbatches)
+
+    v_chunks = max(1, int(interleave))
+    if v_chunks > 1 and (m != stages
+                         or n_layers % (stages * v_chunks) != 0):
+        v_chunks = 1   # circular handoff needs M == S and L % (S*V) == 0
+    l_local = n_layers // stages          # layers per device
+    l_chunk = l_local // v_chunks         # layers per virtual stage
+    if v_chunks > 1:
+        # reorder the layer dim so each stage's V strided chunks become
+        # contiguous under the P('pipe') shard: stage s gets chunks
+        # [s, S+s, 2S+s, ...] (in ring-visit order v=0..V-1)
+        perm = np.concatenate(
+            [np.arange(c * l_chunk, (c + 1) * l_chunk)
+             for s in range(stages)
+             for c in (v * stages + s for v in range(v_chunks))])
+        stacked_vars = jax.tree.map(lambda x: x[perm], stacked_vars)
 
     # the B -> (M, B/M) split needs no explicit pin: GSPMD propagates the
     # producer's batch/sp layout through the reshape cleanly (an explicit
@@ -144,40 +178,55 @@ def pipeline_scan(apply_layer: Callable[[Dict, Any, Any, jax.Array], Any],
         mb = jax.tree.map(lambda p, x: _narrow_like(p)(x), mb_proto, mb)
         bc = jax.tree.map(lambda p, x: _narrow_like(p)(x), bc_proto, bc)
         stage = jax.lax.axis_index(pipe_axis)
+        # local layers (V*Lc, ...) -> (V, Lc, ...): dim 0 selects the
+        # virtual stage (chunk) in ring-visit order
+        sv_chunks = jax.tree.map(
+            lambda x: x.reshape(v_chunks, l_chunk, *x.shape[1:]), sv_local)
 
-        def run_stage(c):
+        def run_chunk(c, v):
+            sv_v = jax.tree.map(
+                lambda x: jax.lax.dynamic_index_in_dim(x, v, 0, False),
+                sv_chunks)
+            base = (v * stages + stage) * l_chunk   # global chunk offset
+
             def one(c2, xs):
                 sv_i, li = xs
-                return apply_layer(sv_i, c2, bc, stage * l_local + li), None
+                return apply_layer(sv_i, c2, bc, base + li), None
             out, _ = jax.lax.scan(
-                one, c, (sv_local, jnp.arange(l_local, dtype=jnp.int32)))
+                one, c, (sv_v, jnp.arange(l_chunk, dtype=jnp.int32)))
             return out
 
         state = jax.tree.map(lambda x: jnp.zeros_like(x[0]), mb)
-        total = m + stages - 1
+        total = v_chunks * m + stages - 1
         perm = [(j, (j + 1) % stages) for j in range(stages)]
 
         def step(st, t):
-            take = jnp.minimum(t, m - 1)
-            # stage 0 ingests microbatch t; later stages use what the
-            # previous stage handed them last step
+            g = t - stage                         # this stage's progress
+            v = jnp.clip(g // m, 0, v_chunks - 1)   # current chunk
+            # stage 0 ingests fresh microbatches during its first chunk;
+            # afterwards every stage (0 included: the chunk v -> v+1
+            # ring-wrap) uses what the previous stage handed it last step
+            inject = jnp.logical_and(stage == 0, t < m)
             inp = jax.tree.map(
-                lambda buf, s: jnp.where(stage == 0, buf[take], s), mb, st)
-            out = run_stage(inp)
+                lambda buf, s: jnp.where(inject,
+                                         buf[jnp.clip(t, 0, m - 1)], s),
+                mb, st)
+            out = run_chunk(inp, v)
             nxt = jax.tree.map(
                 lambda o: jax.lax.ppermute(o, pipe_axis, perm), out)
             return nxt, out
 
         _, ys = jax.lax.scan(step, state,
                              jnp.arange(total, dtype=jnp.int32))
-        # the last stage's outputs at steps S-1 .. T-1 are the finished
-        # microbatches 0 .. M-1, in order; every other stage's ys are
-        # in-flight values — all-gather over the ring (in f32, see the
-        # boundary note above: its transpose is a reduce-scatter) and keep
-        # the last stage's buffer
+        # the last stage's LAST-chunk outputs at steps
+        # (V-1)*M + S-1 .. T-1 are the finished microbatches 0 .. M-1, in
+        # order; every other stage's ys are in-flight values — all-gather
+        # over the ring (in f32, see the boundary note above: its
+        # transpose is a reduce-scatter) and keep the last stage's buffer
+        drop = (v_chunks - 1) * m + stages - 1
         return jax.tree.map(
             lambda y: jax.lax.all_gather(
-                _widen(y[stages - 1:]), pipe_axis)[stages - 1], ys)
+                _widen(y[drop:]), pipe_axis)[stages - 1], ys)
 
     param_specs = jax.tree.map(lambda _: P(pipe_axis), stacked_vars)
     outs = jax.shard_map(body, mesh=mesh,

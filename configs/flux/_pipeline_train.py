@@ -21,6 +21,11 @@ parallel = dict(
     tensor_axis=None,
     pipe_axis='pipe',
     pipe_microbatches=None,   # default: one microbatch per stage
+    # >1 selects the circular (interleaved) schedule: V strided layer
+    # chunks per device, bubble (S-1)/(V*S+S-1) instead of (S-1)/(2S-1);
+    # needs depth % (pipe*V) == 0 and M == S (forced), degrades to the
+    # plain GPipe schedule otherwise
+    pipe_interleave=1,
     min_shard_size=2 ** 16,
 )
 

@@ -63,6 +63,52 @@ def test_pipeline_scan_matches_scan_fwd_and_grad():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize('v', [2, 4])
+def test_interleaved_schedule_matches_scan(v):
+    """Circular schedule (V virtual stages per device): forward and grads
+    match the plain scan; requires M == S (forced) and L % (S*V) == 0."""
+    mesh = make_mesh({'pipe': 2, 'data': 4})
+    sv = _toy_stack(l=8)
+    x = jax.random.normal(jax.random.PRNGKey(7), (4, 16))  # M = S = 2
+    bc = jnp.float32(0.05)
+    ref = _toy_ref(sv, x, bc)
+
+    def run(s, c):
+        return pipeline_scan(_toy_layer, s, c, bc, mesh, 'pipe',
+                             microbatches=2, interleave=v)
+
+    with activation_sharding(mesh, batch_axes=('data',)):
+        got = jax.jit(run)(sv, x)
+        g_pipe = jax.jit(jax.grad(
+            lambda s: jnp.sum(run(s, x) ** 2)))(sv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    g_ref = jax.grad(lambda s: jnp.sum(_toy_ref(s, x, bc) ** 2))(sv)
+    np.testing.assert_allclose(np.asarray(g_pipe['params']['w']),
+                               np.asarray(g_ref['params']['w']),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_flux_pipeline_interleaved_forward_matches_unsharded():
+    """Full-model circular schedule: ArcFlux with V=2 on a pipe=2 mesh
+    (single blocks 4 = 2 stages x 2 chunks) matches unsharded."""
+    model = _tiny_flux(checkpointing=False)
+    inputs, k = _flux_inputs(seed=13)
+    params = model.init(k, **inputs)['params']
+    ref = model.apply({'params': params}, **inputs)
+
+    mesh = make_mesh({'pipe': 2, 'data': 4})
+    p_sh = _place_pipelined(params, mesh)
+    sh_inputs = shard_batch(inputs, mesh)
+    with activation_sharding(mesh, pipe_interleave=2):
+        got = jax.jit(lambda p, kw: model.apply({'params': p}, **kw))(
+            p_sh, sh_inputs)
+    for key in ('means', 'logweights', 'loggammas'):
+        np.testing.assert_allclose(np.asarray(got[key]),
+                                   np.asarray(ref[key]), rtol=2e-3,
+                                   atol=2e-4, err_msg=key)
+
+
 def test_pipeline_scan_tuple_carry_and_microbatch_fallback():
     """(img, txt)-style tuple carry; batch 3 with 4 stages falls back to
     M=3 (then M must divide B)."""
@@ -109,9 +155,12 @@ def test_stacked_param_spec_and_partition_guards():
     mesh = make_mesh({'pipe': 4, 'data': 2})
     with activation_sharding(mesh):
         assert pipeline_active()
-        m, axis, micro = pipe_partition(8)
-        assert axis == 'pipe' and micro is None
+        m, axis, micro, inter = pipe_partition(8)
+        assert axis == 'pipe' and micro is None and inter == 1
         assert pipe_partition(6) is None      # 6 layers % 4 stages != 0
+    with activation_sharding(mesh, pipe_interleave=2):
+        assert pipe_partition(8)[3] == 2      # 8 % (4*2) == 0
+        assert pipe_partition(12)[3] == 1     # 12 % 8 != 0 -> degrade
     mesh2 = make_mesh({'data': 4, 'fsdp': 2})
     with activation_sharding(mesh2):
         assert not pipeline_active()
