@@ -99,6 +99,52 @@ def test_expert_parallel_matches_unsharded():
                                    atol=2e-4, err_msg=k)
 
 
+def test_moe_composes_with_pipeline():
+    """pipe x expert: MoE joint blocks run inside the GPipe stage body
+    (expert axis stays GSPMD-auto there); stacked expert weights place as
+    P('pipe', 'expert', ...). Output matches unsharded."""
+    from arcflow_tpu.models import ArcFluxTransformer2DModel
+    from arcflow_tpu.parallel import param_spec_for_path
+    from jax.sharding import PartitionSpec as P
+
+    net = dict(in_channels=16, num_layers=2, num_single_layers=2,
+               attention_head_dim=16, num_attention_heads=4,
+               joint_attention_dim=32, pooled_projection_dim=16,
+               axes_dims_rope=(4, 6, 6), guidance_embeds=False,
+               moe_experts=2, moe_capacity_factor=1.0,
+               checkpointing=False)
+    model = ArcFluxTransformer2DModel(patch_size=2, num_gaussians=4, **net)
+    ks = jax.random.split(jax.random.PRNGKey(10), 4)
+    inputs = dict(
+        hidden_states=jax.random.normal(ks[0], (4, 8, 8, 4)),
+        t=jnp.full((4,), 0.7),
+        encoder_hidden_states=jax.random.normal(ks[1], (4, 8, 32)),
+        pooled_projections=jax.random.normal(ks[2], (4, 16)))
+    params = model.init(ks[3], **inputs)['params']
+    ref = model.apply({'params': params}, **inputs)
+
+    mesh = make_mesh({'pipe': 2, 'expert': 2, 'data': 2})
+    w = params['joint_blocks']['ff_img']['moe']['w_in']
+    assert param_spec_for_path('joint_blocks/ff_img/moe/w_in', w, mesh,
+                               min_size=256) == \
+        P('pipe', 'expert', None, None)
+
+    def place(path, x):
+        ps = '/'.join(str(getattr(k, 'key', k)) for k in path)
+        return jax.device_put(x, NamedSharding(
+            mesh, param_spec_for_path(ps, x, mesh, min_size=256)))
+
+    p_sh = jax.tree_util.tree_map_with_path(place, params)
+    sh_inputs = shard_batch(inputs, mesh)
+    with activation_sharding(mesh):
+        got = jax.jit(lambda p, kw: model.apply({'params': p}, **kw))(
+            p_sh, sh_inputs)
+    for key in ('means', 'logweights', 'loggammas'):
+        np.testing.assert_allclose(np.asarray(got[key]),
+                                   np.asarray(ref[key]), rtol=2e-3,
+                                   atol=2e-4, err_msg=key)
+
+
 def test_qwen_moe_model_runs():
     """The Qwen family exposes the same MoE surface: tiny ArcQwen with
     moe_experts=2 initializes MoE params under the blocks and produces a
