@@ -291,6 +291,8 @@ class FluxBackbone(nn.Module):
     therefore share frozen params structurally.
     """
 
+    family = 'flux'   # converter key-map family (pipelines/convert.py)
+
     in_channels: int = 64
     num_layers: int = 19
     num_single_layers: int = 38

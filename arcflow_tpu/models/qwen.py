@@ -104,6 +104,8 @@ def make_qwen_img_ids(h_tokens: int, w_tokens: int, scale_rope: bool = True
 class QwenBackbone(nn.Module):
     """Shared Qwen-Image trunk (embedders + 60 joint blocks)."""
 
+    family = 'qwen'   # converter key-map family (pipelines/convert.py)
+
     in_channels: int = 64
     num_layers: int = 60
     attention_head_dim: int = 128

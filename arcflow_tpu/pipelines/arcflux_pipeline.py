@@ -51,6 +51,7 @@ class ArcFluxPipeline:
     """FLUX-family ArcFlow pipeline."""
 
     diffusion_cls = ArcFlowImitationDataFree
+    family = 'flux'   # converter key-map family (pipelines/convert.py)
 
     def __init__(self, transformer, transformer_params,
                  vae=None, vae_params=None, text_encoder=None,
@@ -84,20 +85,93 @@ class ArcFluxPipeline:
 
     # ---- loading -----------------------------------------------------------
     @classmethod
+    def _dummy_inputs(cls, model) -> Dict[str, Array]:
+        """Tiny abstract inputs for ``jax.eval_shape(model.init, ...)`` —
+        used to derive the expected param structure without allocating."""
+        p = model.patch_size
+        c = model.in_channels // (p * p)
+        kw = dict(hidden_states=jnp.zeros((1, 2 * p, 2 * p, c)),
+                  t=jnp.zeros((1,)),
+                  encoder_hidden_states=jnp.zeros(
+                      (1, 4, model.joint_attention_dim)))
+        if getattr(model, 'family', cls.family) == 'flux':
+            kw['pooled_projections'] = jnp.zeros(
+                (1, model.pooled_projection_dim))
+            if model.guidance_embeds:
+                kw['guidance'] = jnp.zeros((1,))
+        else:
+            kw['encoder_hidden_states_mask'] = jnp.ones((1, 4), jnp.int32)
+        return kw
+
+    @classmethod
     def from_pretrained(cls, model_dir: str, transformer_cls=None, **kwargs):
         """Build from a local diffusers-style folder (offline; the reference
         pulls from the HF hub)."""
         from ..models import ArcFluxTransformer2DModel
-        from .convert import load_safetensors_state, torch_flux_to_flax, \
-            graft_pretrained
-        transformer_cls = transformer_cls or ArcFluxTransformer2DModel
-        cfg_path = os.path.join(model_dir, 'config.json')
-        cfg = json.load(open(cfg_path)) if os.path.exists(cfg_path) else {}
-        model = transformer_cls(**{k: v for k, v in cfg.items()
-                                   if not k.startswith('_')})
+        from ..utils.pytree import flatten
+        from .convert import (expand_proj_out_to_arc_heads,
+                              load_safetensors_state, torch_flux_to_flax)
+        from ..utils.io_utils import get_file_backend, uri_scheme
+        if uri_scheme(model_dir) != 'local':
+            # hub/remote model folder (reference arcflow_loader.py:45-67
+            # pulls the repo through the HF cache): config.json rides the
+            # same backend as the weights
+            backend = get_file_backend(model_dir)
+            cfg_uri = backend.join_path(model_dir, 'config.json')
+            cfg = json.loads(backend.get(cfg_uri)) \
+                if backend.exists(cfg_uri) else {}
+        else:
+            cfg_path = os.path.join(model_dir, 'config.json')
+            cfg = json.load(open(cfg_path)) \
+                if os.path.exists(cfg_path) else {}
+        if transformer_cls is None and cfg.get('_class_name'):
+            # resolve the transformer class from the config, the reference
+            # loader's scheme (arcflow_loader.py:157-175)
+            from .. import models as _models
+            transformer_cls = getattr(_models, cfg['_class_name'], None)
+        if transformer_cls is None:
+            transformer_cls = ArcFluxTransformer2DModel
+        # keep only constructor fields (diffusers config.json carries extra
+        # bookkeeping keys) and re-tuple JSON lists (axes_dims_rope etc. —
+        # flax module fields must stay hashable)
+        fields = getattr(transformer_cls, '__dataclass_fields__', {})
+        cfg = {k: tuple(v) if isinstance(v, list) else v
+               for k, v in cfg.items()
+               if not k.startswith('_') and (not fields or k in fields)}
+        model = transformer_cls(**cfg)
         state = load_safetensors_state(model_dir)
-        tree, _ = torch_flux_to_flax(state, model.num_layers,
-                                     getattr(model, 'num_single_layers', 0))
+        # Thread the converter family + patch size from the transformer
+        # class (models declare their key-map family): the FLUX and Qwen
+        # block key maps share no block keys, so a mismatched family yields
+        # a near-empty tree.
+        family = getattr(model, 'family', cls.family)
+        tree, _ = torch_flux_to_flax(
+            state, model.num_layers,
+            getattr(model, 'num_single_layers', 0),
+            family=family, patch_size=model.patch_size)
+        if 'proj_out' in tree and getattr(model, 'num_gaussians', 0):
+            # teacher-only dir: expand proj_out into the K-way arc heads
+            # (reference arcflux.py:327-341 does this at student init)
+            tree = expand_proj_out_to_arc_heads(
+                tree, model.num_gaussians, model.patch_size)
+        # structural validation against the model's init structure (trace
+        # only — eval_shape allocates nothing): a wrong-family dir or key-map
+        # drift must fail loudly here, not produce a silently-garbage tree.
+        expected = jax.eval_shape(
+            model.init, jax.random.PRNGKey(0),
+            **cls._dummy_inputs(model))['params']
+        exp, got = flatten(expected), flatten(tree)
+        bad = [f'{k}: ckpt {np.shape(got[k])} vs model {tuple(exp[k].shape)}'
+               for k in got
+               if k in exp and tuple(np.shape(got[k])) != tuple(exp[k].shape)]
+        missing = sorted(set(exp) - set(got))
+        if bad or len(missing) > 0.1 * len(exp):
+            raise ValueError(
+                f'checkpoint at {model_dir} does not match the '
+                f'{family!r} key maps / {type(model).__name__} '
+                f'structure: {len(missing)}/{len(exp)} model params missing '
+                f'(e.g. {missing[:3]}); shape mismatches: {bad[:3]} — wrong '
+                f'pipeline family for this folder?')
         return cls(model, tree, **kwargs)
 
     def load_arcflow_adapter(self, adapter_path: str, rng=None):
@@ -106,7 +180,9 @@ class ArcFluxPipeline:
         arcflow_loader.py:45-275). Reads the ``policy_config`` JSON from the
         safetensors metadata header."""
         from .loader import load_adapter_state
-        adapter_tree, policy_config = load_adapter_state(adapter_path)
+        adapter_tree, policy_config = load_adapter_state(
+            adapter_path, family=getattr(self.transformer, 'family',
+                                         self.family))
         from ..utils.pytree import merge_params
         self.transformer_params = merge_params(self.transformer_params,
                                                adapter_tree)
@@ -261,6 +337,8 @@ class ArcQwenImagePipeline(ArcFluxPipeline):
     """Qwen-Image-family ArcFlow pipeline (reference arcqwen_pipeline.py).
 
     Same structure; Qwen has no guidance embeds and uses the text mask."""
+
+    family = 'qwen'
 
     @classmethod
     def from_pretrained(cls, model_dir: str, transformer_cls=None, **kwargs):

@@ -201,6 +201,21 @@ def load_safetensors_state(path: str) -> Dict[str, np.ndarray]:
     from ..utils.io_utils import get_file_backend, uri_scheme
     if uri_scheme(path) != 'local':
         backend = get_file_backend(path)
+        if not path.endswith(('.safetensors', '.index.json')):
+            # remote model *folder* (hub repo): probe the diffusers-standard
+            # filenames, sharded index first (reference arcflow_loader.py
+            # downloads the repo and resolves the index the same way)
+            for cand in ('diffusion_pytorch_model.safetensors.index.json',
+                         'model.safetensors.index.json',
+                         'diffusion_pytorch_model.safetensors',
+                         'model.safetensors'):
+                c = backend.join_path(path, cand)
+                if backend.exists(c):
+                    path = c
+                    break
+            else:
+                raise FileNotFoundError(
+                    f'no safetensors checkpoint found under {path}')
         if not hasattr(backend, 'local_path'):
             raise ValueError(f'backend for {path} cannot resolve local files')
         local = backend.local_path(path)
@@ -407,9 +422,12 @@ def flax_to_torch_flux(flax_tree: Dict, family: str = 'flux',
             if t_sub in _PACKED_TOUCHING and f_leaf in ('kernel', 'bias'):
                 io, has_k = _PACKED_TOUCHING[t_sub]
                 groups = (num_gaussians or 1) if has_k else 1
-                axis = 0 if (f_leaf == 'kernel' and io == 'in') \
-                    else v.ndim - 1 if f_leaf == 'kernel' else 0
-                v = _permute_packed(v, axis, p2, groups, to_flax=False)
+                if f_leaf == 'kernel':
+                    axis = 0 if io == 'in' else v.ndim - 1
+                    v = _permute_packed(v, axis, p2, groups, to_flax=False)
+                elif io == 'out':   # bias only touches packed features on
+                    v = _permute_packed(v, 0, p2, groups,   # the output side
+                                        to_flax=False)
             t_leaf, v = deconvert(f_leaf, v)
             out[f'{t_sub}.{t_leaf}'] = v
     # anything unmapped passes through with canonical leaf names

@@ -42,8 +42,27 @@ def load_adapter_state(path: str, family: str = 'flux'
     Splits keys into stacked-block entries vs top-level adapter heads exactly
     as the converter expects; LoRA keys (``lora_a``/``lora_b`` or peft-style
     ``lora_A.weight``) are normalized to the framework's lora leaves.
+
+    ``path`` may be a remote URI (``huggingface://org/repo/file.safetensors``,
+    ``s3://...``, ``http(s)://...``) — resolved through the io_utils backend
+    table, matching the reference loader's hub ingestion
+    (arcflow_loader.py:45-67).
     """
     from safetensors import safe_open
+
+    from ..utils.io_utils import get_file_backend, uri_scheme
+    if uri_scheme(path) != 'local':
+        backend = get_file_backend(path)
+        if hasattr(backend, 'local_path'):
+            path = backend.local_path(path)
+        else:
+            import tempfile
+            data = backend.get(path)
+            tmp = tempfile.NamedTemporaryFile(suffix='.safetensors',
+                                              delete=False)
+            tmp.write(data)
+            tmp.close()
+            path = tmp.name
     state = {}
     with safe_open(path, framework='np') as f:
         meta = f.metadata() or {}

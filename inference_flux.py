@@ -20,6 +20,11 @@ def main():
     p.add_argument('--vae-dir', default=None)
     p.add_argument('--prompt', default='a photo of an astronaut riding a '
                                        'horse on the moon')
+    p.add_argument('--prompt-embeds', default=None,
+                   help='.npz with cached prompt embeddings '
+                        '(encoder_hidden_states, pooled_projections) — '
+                        'skips the text towers, the cached-embedding '
+                        'serving path')
     p.add_argument('--height', type=int, default=1024)
     p.add_argument('--width', type=int, default=1024)
     p.add_argument('--nfe', type=int, default=2)
@@ -60,8 +65,9 @@ def main():
         vae = PretrainedVAEDecoder(latent_channels=16, dtype='bfloat16',
                                    from_pretrained=args.vae_dir)
         vae_params = vae.init_params(jax.random.PRNGKey(0))
+    text_encoder = None if args.prompt_embeds else PretrainedFluxTextEncoder()
     pipe = ArcFluxPipeline.from_pretrained(
-        args.model_dir, text_encoder=PretrainedFluxTextEncoder(),
+        args.model_dir, text_encoder=text_encoder,
         vae=vae, vae_params=vae_params,
         nfe=args.nfe, temperature=args.temperature,
         guidance_scale=args.guidance)
@@ -76,9 +82,20 @@ def main():
                 (kv.split('=') for kv in args.mesh.split(','))}
         print('serving mesh:', dict(pipe.shard(axes,
                                                sp_mode=args.sp_mode).shape))
-    out = pipe(prompt=[args.prompt], height=args.height, width=args.width,
-               seed=args.seed, output_type='pil')
-    out['images'][0].save(args.out)
+    prompt_embeds = None
+    if args.prompt_embeds:
+        import numpy as np
+        prompt_embeds = dict(np.load(args.prompt_embeds))
+    out = pipe(prompt=None if prompt_embeds else [args.prompt],
+               prompt_embeds=prompt_embeds,
+               height=args.height, width=args.width,
+               seed=args.seed, output_type='pil' if vae else 'latent')
+    if vae:
+        out['images'][0].save(args.out)
+    else:
+        import numpy as np
+        np.save(args.out if args.out.endswith('.npy') else args.out + '.npy',
+                np.asarray(out['latents']))
     print(f'saved {args.out}')
 
 
