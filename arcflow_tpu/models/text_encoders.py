@@ -28,11 +28,15 @@ from ..registry import MODULES
 def _require_transformers():
     try:
         import transformers
-        return transformers
     except ImportError as e:   # pragma: no cover
         raise RuntimeError('transformers is required for on-the-fly text '
                            'encoding; use cached prompt_embed_kwargs '
                            'otherwise') from e
+    # patch the removed jnp.clip(a_min/a_max) spelling at import time, before
+    # ANY FlaxT5 model init can trace it (init_weights traces the forward,
+    # so patching lazily in _load() is too late for externally-built models)
+    _patch_flax_t5_clip(transformers)
+    return transformers
 
 
 class _JnpClipCompat:

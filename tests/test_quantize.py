@@ -196,3 +196,33 @@ def test_pipeline_quantize_int4_samples():
         pooled_projections=jax.random.normal(jax.random.PRNGKey(5), (1, 32)))
     out = pipe(prompt_embeds=embeds, height=64, width=64, seed=0)
     assert np.isfinite(np.asarray(out['latents'])).all()
+
+
+def test_w4a8_pallas_kernel_interpret_parity():
+    """The Pallas _w4a8_kernel itself (interpret mode, runs on CPU) vs the
+    plain dequantized fp32 matmul: same grouped-scale numerics bit-for-bit
+    up to fp32 accumulation order (ADVICE r03 — the TPU-gated kernel had no
+    in-suite coverage; bench cross-checks it on the real chip)."""
+    from arcflow_tpu.ops.quant_matmul import w4a8_matmul_pallas
+    from arcflow_tpu.utils.quantize import pack_int4, unpack_int4
+
+    m, k, n, group = 512, 256, 512, 64
+    ks = jax.random.split(jax.random.PRNGKey(6), 2)
+    xq = jax.random.randint(ks[0], (m, k), -127, 128, jnp.int8)
+    q = jax.random.randint(ks[1], (k, n), -8, 8, jnp.int8)
+    g = k // group
+    scale = (0.01 + 0.05 * jax.random.uniform(
+        jax.random.PRNGKey(7), (g, n))).astype(jnp.float32)
+
+    packed = pack_int4(q, group)
+    assert np.array_equal(np.asarray(unpack_int4(packed, group)),
+                          np.asarray(q))
+
+    got = np.asarray(w4a8_matmul_pallas(
+        xq, packed, scale, block_m=512, block_n=512, k_groups=2,
+        interpret=True))
+
+    wf = np.asarray(q, np.float32).reshape(g, group, n) \
+        * np.asarray(scale)[:, None, :]
+    want = np.asarray(xq, np.float32) @ wf.reshape(k, n)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-3)

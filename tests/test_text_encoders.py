@@ -64,6 +64,10 @@ def clip_dir(tmp_path_factory, tok_dir):
 
 @pytest.fixture(scope='module')
 def t5_dir(tmp_path_factory, tok_dir):
+    # FlaxT5 init traces the forward, which still spells
+    # jnp.clip(a_min/a_max) — patch before building the tiny checkpoint
+    from arcflow_tpu.models.text_encoders import _patch_flax_t5_clip
+    _patch_flax_t5_clip(tf)
     d = str(tmp_path_factory.mktemp('t5'))
     # d_model wider than the dual-CLIP concat (2 x 32), matching the real
     # SD3 relationship (t5 4096 > clip 2048) the pad-to-t5-width layout needs
