@@ -374,12 +374,18 @@ def bench_vae_decode(latent=128, iters=4):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_train(layers, single_layers, latent=64, txt=512, batch=1, iters=6):
+def bench_train(layers, single_layers, latent=64, txt=512, batch=1, iters=6,
+                frozen_quant=None):
     """One full 2-NFE distillation optimizer step on one chip: per NFE step
     a student forward + 4 CFG'd frozen-teacher queries per segment, summed
     loss, one backward, per-submodule clip with NaN skip, in-step karras EMA
     — all a single donated-state XLA program (runner/train_step.py).
-    512px latents (64x64x16). Returns (sec/step, n_params)."""
+    512px latents (64x64x16). Returns (sec/step, n_params).
+
+    ``frozen_quant='int8'`` quantizes the frozen trunk (weights never
+    update) — halves frozen HBM vs bf16, roughly doubling the measurable
+    on-chip training scale; quality gated by
+    tests/test_quantized_quality.py's int8-teacher distillation run."""
     import optax
     from arcflow_tpu.models import LatentDiffusionTextImage
     from arcflow_tpu.runner import EmaConfig, TrainState, build_train_step
@@ -406,7 +412,7 @@ def bench_train(layers, single_layers, latent=64, txt=512, batch=1, iters=6):
                      num_timesteps=1),
         tie_teacher=True,
         # bf16 frozen trunk = the reference's FSDP MixedPrecision layout
-        frozen_dtype='bfloat16',
+        frozen_dtype='bfloat16', frozen_quant=frozen_quant,
         latent_shape=(latent, latent, 16), text_embed_dim=4096,
         pooled_dim=768,
         train_cfg=dict(nfe=2, timestep_ratio=1.0, total_substeps=128,
@@ -571,6 +577,139 @@ def bench_aot_12b(mesh_axes=None, batch_per_chip=1, latent=128, txt=512):
                 remat_warnings=remat_warnings)
 
 
+def bench_aot_infer(mesh_axes, latent=128, txt=512, sp_mode='ulysses',
+                    single_chip_ms=889.7):
+    """Multi-chip evidence for the inference north star (<1 s on v5p-8):
+    AOT-compile the FULL 12B w8a8 2-NFE sampling program over a simulated
+    v5p-8 inference mesh (sp x tensor [x fsdp], the single-image layout) and
+    report per-chip memory, collective bytes/counts, remat warnings, and a
+    roofline latency estimate.
+
+    No parameters materialize — the quantized tree is eval_shape'd through
+    the real ``quantize_weights_int8`` transform and lowered as
+    ShapeDtypeStructs carrying ``param_spec_for_path`` shardings (the same
+    placement rule the serving pipeline's ``shard()`` uses).
+
+    Roofline model (assumptions recorded in the artifact):
+      * compute: the MEASURED single-chip w8a8 transformer per-image time
+        (BENCH_r03: 889.7 ms, full 12B geometry) divided by the axes that
+        partition compute for batch 1 — 'tensor' x 'sp' (fsdp only shards
+        storage at batch 1);
+      * comm: per-chip collective bytes from the optimized HLO (SPMD module
+        shapes are per-device) at an effective 1e11 B/s ICI rate per chip —
+        conservative for a v5p 3D torus (6 links/chip, ~90 GB/s each);
+      * latency bounds: max(compute, comm) if perfectly overlapped,
+        compute + comm fully serial.
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+    from arcflow_tpu.diffusion import (ArcFlowPolicy,
+                                       ContinuousTimeStepSampler,
+                                       momentum_integration)
+    from arcflow_tpu.models import ArcFluxTransformer2DModel
+    from arcflow_tpu.parallel import (audit_compiled, make_mesh,
+                                      param_spec_for_path,
+                                      set_activation_sharding)
+    from arcflow_tpu.utils.quantize import (quantize_weights_int8,
+                                            set_act_quant)
+
+    mesh = make_mesh(dict(mesh_axes))
+    set_activation_sharding(mesh, sp_mode=sp_mode)
+    set_act_quant(True)
+    model = ArcFluxTransformer2DModel(
+        patch_size=2, num_gaussians=16, in_channels=64,
+        num_layers=19, num_single_layers=38,
+        attention_head_dim=128, num_attention_heads=24,
+        joint_attention_dim=4096, pooled_projection_dim=768,
+        guidance_embeds=True, checkpointing=False, dtype=jnp.bfloat16)
+    sampler = ContinuousTimeStepSampler(num_timesteps=1, shift=3.2)
+
+    b = 1
+    inputs = dict(
+        hidden_states=jnp.zeros((b, latent, latent, 16), jnp.bfloat16),
+        encoder_hidden_states=jnp.zeros((b, txt, 4096), jnp.bfloat16),
+        pooled_projections=jnp.zeros((b, 768), jnp.bfloat16),
+        guidance=jnp.full((b,), 3.5))
+
+    def init_fn(rng):
+        p = model.init(rng, t=jnp.ones((b,)), **inputs)['params']
+        return jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
+
+    t0 = time.perf_counter()
+    shapes = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+    q_shapes, s_shapes = jax.eval_shape(quantize_weights_int8, shapes)
+    variables = {'params': q_shapes, 'quant': s_shapes}
+
+    def abstract(path, sd):
+        ps = '/'.join(str(getattr(kk, 'key', kk)) for kk in path)
+        spec = param_spec_for_path(ps, sd, mesh)
+        return jax.ShapeDtypeStruct(sd.shape, sd.dtype,
+                                    sharding=NamedSharding(mesh, spec))
+    variables_abs = jax.tree_util.tree_map_with_path(abstract, variables)
+    n_params = count_logical_params(
+        {'params': q_shapes, 'quant': s_shapes})
+    log(f'abstract 12B w8a8 tree: {n_params / 1e9:.2f}B params '
+        f'({time.perf_counter() - t0:.1f}s)')
+
+    def sample_2nfe(variables, noise, txt_emb, pooled, guidance):
+        x = noise
+        raw = jnp.array([1.0, 0.5, 0.0])
+        for i in range(2):
+            raw_src = jnp.full((b,), raw[i])
+            sigma_src = sampler.warp_t(raw_src)
+            out = model.apply(variables, x, sigma_src,
+                              encoder_hidden_states=txt_emb,
+                              pooled_projections=pooled, guidance=guidance)
+            policy = ArcFlowPolicy.create(out, x, sigma_src)
+            sigma_dst = sampler.warp_t(jnp.full((b,), raw[i + 1]))
+            x = momentum_integration(policy, x, sigma_src, sigma_dst).astype(
+                jnp.bfloat16)
+        return x
+
+    rep = NamedSharding(mesh, P())
+    arg_abs = [jax.ShapeDtypeStruct(v.shape, v.dtype, sharding=rep)
+               for v in (inputs['hidden_states'],
+                         inputs['encoder_hidden_states'],
+                         inputs['pooled_projections'], inputs['guidance'])]
+    t0 = time.perf_counter()
+    lowered = jax.jit(sample_2nfe).lower(variables_abs, *arg_abs)
+    log(f'lowered in {time.perf_counter() - t0:.1f}s; compiling...')
+    t0 = time.perf_counter()
+    compiled = lowered.compile()
+    log(f'compiled in {time.perf_counter() - t0:.1f}s')
+    stats = audit_compiled(compiled)
+    remat_warnings = compiled.as_text().count(
+        'Involuntary full rematerialization')
+
+    comm_bytes = sum(v['bytes'] for v in stats['collectives'].values())
+    par = 1
+    for a in ('tensor', 'sp'):
+        par *= mesh.shape.get(a, 1)
+    ici_bw = 1e11
+    compute_ms = single_chip_ms / par
+    comm_ms = comm_bytes / ici_bw * 1e3
+    mem = stats['memory'] or {}
+    per_chip = mem.get('argument_bytes', 0) + mem.get('temp_bytes', 0)
+    return dict(
+        mesh=dict(mesh.shape), sp_mode=sp_mode, n_params=n_params,
+        latent=latent, txt=txt, batch=b,
+        collectives=stats['collectives'], memory=stats['memory'],
+        per_chip_bytes=per_chip, remat_warnings=remat_warnings,
+        roofline=dict(
+            single_chip_transformer_ms=single_chip_ms,
+            compute_partition=par, compute_ms=round(compute_ms, 1),
+            comm_bytes_per_chip=comm_bytes,
+            ici_bw_assumed_bytes_per_s=ici_bw,
+            comm_ms=round(comm_ms, 1),
+            overlapped_ms=round(max(compute_ms, comm_ms), 1),
+            serial_ms=round(compute_ms + comm_ms, 1),
+            note='compute = measured single-chip w8a8 per-image / '
+                 '(tensor*sp); comm = per-chip HLO collective bytes at an '
+                 'effective 100 GB/s; VAE decode (+92 ms measured single-'
+                 'chip) excluded'))
+
+
 def try_bench(layers, single_layers, iters=8, mesh=None, batch=1,
               int8=False, w8a8=False, int4=False, sp_mode='ulysses'):
     fn, args, model = build(layers, single_layers, mesh=mesh, batch=batch,
@@ -629,6 +768,12 @@ def main():
                         'all-to-all to head shards (ulysses, default) or '
                         'ring/context-parallel K/V rotation (long-context; '
                         'Pallas flash per hop)')
+    p.add_argument('--frozen-int8', action='store_true',
+                   help='with --train: int8-quantize the frozen trunk '
+                        '(weights never update) — halves frozen HBM, '
+                        'roughly doubles the measurable on-chip training '
+                        'scale; quality gated by '
+                        'tests/test_quantized_quality.py')
     p.add_argument('--train', action='store_true',
                    help='benchmark the full distillation optimizer step '
                         '(10 DiT forwards + backward, clip, EMA) instead '
@@ -639,12 +784,53 @@ def main():
                         'masked joint attention on the segment-ids flash '
                         'path): largest int8 depth that fits one chip, '
                         'FLOP-scaled to the 20B full geometry')
+    p.add_argument('--aot-infer', action='store_true',
+                   help='AOT-compile the FULL 12B w8a8 2-NFE sampling '
+                        'program over a simulated v5p-8 inference mesh '
+                        '(--mesh, default sp=4,tensor=2) and report '
+                        'per-chip memory + collectives + roofline latency; '
+                        'merges into AOT_INFER.json (no TPU needed)')
     p.add_argument('--aot-12b', action='store_true',
                    help='with --train: AOT-compile the FULL 12B FSDP train '
                         'step on a simulated v5p-8 CPU mesh and report '
                         'per-chip memory + collective totals (no TPU '
                         'needed); writes AOT_12B.json next to this script')
     args_cli = p.parse_args()
+
+    if args_cli.aot_infer:
+        os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
+                                   + ' --xla_force_host_platform_device_count=8')
+        jax.config.update('jax_platforms', 'cpu')
+        axes = {'sp': 4, 'tensor': 2}
+        if args_cli.mesh:
+            axes = {k: int(v) for k, v in
+                    (kv.split('=') for kv in args_cli.mesh.split(','))}
+        out = bench_aot_infer(axes, sp_mode=args_cli.sp_mode)
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            'AOT_INFER.json')
+        all_out = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                all_out = json.load(f)
+        key = ','.join(f'{k}={v}' for k, v in out['mesh'].items()) + \
+            (f'/{args_cli.sp_mode}' if args_cli.sp_mode != 'ulysses' else '')
+        all_out[key] = out
+        with open(path, 'w') as f:
+            json.dump(all_out, f, indent=1)
+        log(f'wrote {path} [{key}]')
+        rl = out['roofline']
+        hbm = 95e9   # v5p HBM per chip
+        print(json.dumps(dict(
+            metric=f'roofline latency, 12B w8a8 2-NFE sampling AOT-compiled '
+                   f'on simulated v5p-8 inference mesh {out["mesh"]} '
+                   f'({out["n_params"] / 1e9:.2f}B params, '
+                   f'{out["per_chip_bytes"] / 1e9:.2f} GB/chip of '
+                   f'{hbm / 1e9:.0f} GB, {out["remat_warnings"]} remat '
+                   f'warnings; compute {rl["compute_ms"]} ms + comm '
+                   f'{rl["comm_ms"]} ms)',
+            value=rl['serial_ms'], unit='ms',
+            vs_baseline=round(1000.0 / rl['serial_ms'], 3))))
+        return
 
     if args_cli.train and args_cli.aot_12b:
         # simulated v5p-8: 8 CPU devices (env must be set before the first
@@ -690,11 +876,17 @@ def main():
             # a config that fits on a clean chip then OOMs too. One process
             # per attempt guarantees a clean device state.
             import subprocess
-            for layers, single in [(4, 8), (3, 6), (2, 4), (1, 2)]:
+            ladder = [(4, 8), (3, 6), (2, 4), (1, 2)]
+            if args_cli.frozen_int8:
+                # int8 frozen trunk: the HBM budget doubles the reachable
+                # scale — start the ladder at the larger geometries
+                ladder = [(10, 20), (8, 16), (6, 12), (4, 8)]
+            for layers, single in ladder:
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), '--train',
                      '--layers', str(layers), '--single', str(single),
-                     '--batch', str(args_cli.batch)],
+                     '--batch', str(args_cli.batch)]
+                    + (['--frozen-int8'] if args_cli.frozen_int8 else []),
                     capture_output=True, text=True)
                 sys.stderr.write(r.stderr)
                 line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() \
@@ -709,13 +901,16 @@ def main():
             return
         layers = args_cli.layers
         single = args_cli.single or layers * 2
-        sec, n_params = bench_train(layers, single, batch=args_cli.batch)
+        fq = 'int8' if args_cli.frozen_int8 else None
+        sec, n_params = bench_train(layers, single, batch=args_cli.batch,
+                                    frozen_quant=fq)
         log(f'train step: {sec * 1000:.1f} ms')
+        trunk = ', int8 frozen trunk' if fq else ''
         print(json.dumps(dict(
             metric=f'distillation optimizer steps/sec, 512px 2-NFE '
                    f'(ArcFlux {layers}j+{single}s {n_params / 1e9:.2f}B '
-                   f'tied teacher+student, 10 DiT fwd + 1 bwd per step, '
-                   f'measured on one chip)',
+                   f'tied teacher+student{trunk}, 10 DiT fwd + 1 bwd per '
+                   f'step, measured on one chip)',
             value=round(1.0 / sec, 4), unit='steps/s/chip',
             vs_baseline=0.0)))
         return

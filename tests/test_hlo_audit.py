@@ -118,3 +118,89 @@ def test_ring_attention_program_is_permute_only():
     # the caller's replicated result layout — never S x (H, D) K/V blocks
     seq_kv_bytes = 2 * q.size * q.dtype.itemsize
     assert stats['all-gather']['bytes'] <= seq_kv_bytes, stats
+
+
+def test_sharded_w8a8_inference_program_audit():
+    """Tiny version of ``bench.py --aot-infer`` (VERDICT r03 weak #3): the
+    w8a8 2-NFE sampling program compiled over an fsdp x tensor x sp
+    inference mesh must partition cleanly — no involuntary-remat warnings,
+    all-gather traffic bounded by a small multiple of the (quantized)
+    parameter bytes (the fsdp unshard cost across 2 NFE forwards)."""
+    import jax.numpy as jnp
+    from arcflow_tpu.diffusion import (ArcFlowPolicy,
+                                       ContinuousTimeStepSampler,
+                                       momentum_integration)
+    from arcflow_tpu.models import ArcFluxTransformer2DModel
+    from arcflow_tpu.parallel import (activation_sharding, audit_compiled,
+                                      make_mesh, param_spec_for_path,
+                                      tree_bytes)
+    from arcflow_tpu.utils.quantize import (quantize_weights_int8,
+                                            set_act_quant)
+    from jax.sharding import NamedSharding
+
+    model = ArcFluxTransformer2DModel(
+        patch_size=2, num_gaussians=4, in_channels=16, num_layers=2,
+        num_single_layers=2, attention_head_dim=32, num_attention_heads=4,
+        joint_attention_dim=64, pooled_projection_dim=32,
+        guidance_embeds=True, axes_dims_rope=(8, 12, 12),
+        checkpointing=False, dtype=jnp.float32)
+    sampler = ContinuousTimeStepSampler(num_timesteps=1, shift=3.2)
+    b = 1
+    inputs = dict(
+        hidden_states=jnp.zeros((b, 16, 16, 4)),
+        encoder_hidden_states=jnp.zeros((b, 8, 64)),
+        pooled_projections=jnp.zeros((b, 32)),
+        guidance=jnp.full((b,), 3.5))
+    params = model.init(jax.random.PRNGKey(0), t=jnp.ones((b,)),
+                        **inputs)['params']
+    qparams, quant = quantize_weights_int8(params, min_size=1024)
+
+    mesh = make_mesh({'fsdp': 2, 'tensor': 2, 'sp': 2})
+
+    def place(tree):
+        import jax.tree_util as jtu
+        return jax.device_put(tree, jtu.tree_map_with_path(
+            lambda p, x: NamedSharding(
+                mesh, param_spec_for_path(
+                    '/'.join(str(getattr(k, 'key', k)) for k in p), x, mesh,
+                    min_size=1024)), tree))
+
+    variables = {'params': place(qparams), 'quant': place(quant)}
+
+    def sample_2nfe(variables, noise, txt_emb, pooled, guidance):
+        x = noise
+        raw = jnp.array([1.0, 0.5, 0.0])
+        for i in range(2):
+            sigma_src = sampler.warp_t(jnp.full((b,), raw[i]))
+            out = model.apply(variables, x, sigma_src,
+                              encoder_hidden_states=txt_emb,
+                              pooled_projections=pooled, guidance=guidance)
+            policy = ArcFlowPolicy.create(out, x, sigma_src)
+            sigma_dst = sampler.warp_t(jnp.full((b,), raw[i + 1]))
+            x = momentum_integration(policy, x, sigma_src, sigma_dst)
+        return x
+
+    set_act_quant(True)
+    try:
+        with activation_sharding(mesh):
+            compiled = jax.jit(sample_2nfe).lower(
+                variables, inputs['hidden_states'],
+                inputs['encoder_hidden_states'],
+                inputs['pooled_projections'], inputs['guidance']).compile()
+            out = compiled(variables, inputs['hidden_states'],
+                           inputs['encoder_hidden_states'],
+                           inputs['pooled_projections'], inputs['guidance'])
+    finally:
+        set_act_quant(False)
+    assert np.isfinite(np.asarray(out)).all()
+
+    remat = compiled.as_text().count('Involuntary full rematerialization')
+    assert remat == 0, f'{remat} involuntary remats in the inference program'
+    stats = audit_compiled(compiled)['collectives']
+    param_bytes = tree_bytes(variables['params']) + \
+        tree_bytes(variables['quant'])
+    ag = stats['all-gather']
+    # 2 NFE forwards re-gather the fsdp-sharded weights once each; 4x the
+    # param bytes leaves headroom without masking a replicate-then-
+    # repartition regression
+    assert ag['bytes'] <= 4 * param_bytes, (ag, param_bytes)
