@@ -102,6 +102,7 @@ class Distillation2D(BaseModel):
     def __init__(self, diffusion: dict, teacher: dict, data_shape=(2,),
                  diffusion_use_ema=True, teacher_guidance_scale=1.0,
                  teacher_ckpt=None, teacher_use_ema=True,
+                 teacher_quant=None, teacher_quant_min_size=1024,
                  train_cfg=None, test_cfg=None):
         super().__init__(train_cfg, test_cfg)
         self.diffusion = build_module(
@@ -113,6 +114,12 @@ class Distillation2D(BaseModel):
         self.teacher_guidance_scale = teacher_guidance_scale
         self.teacher_ckpt = teacher_ckpt
         self.teacher_use_ema = teacher_use_ema
+        # 'int8': quantize the frozen teacher's big kernels — the toy-scale
+        # mirror of LatentDiffusionTextImage's frozen_quant (distill with an
+        # int8 teacher; quality gated by tests/test_quantized_quality.py)
+        assert teacher_quant in (None, 'int8'), teacher_quant
+        self.teacher_quant = teacher_quant
+        self.teacher_quant_min_size = teacher_quant_min_size
 
     @property
     def ema_keys(self):
@@ -132,10 +139,19 @@ class Distillation2D(BaseModel):
             teacher = jax.tree.map(
                 lambda ref, x: jnp.asarray(x, ref.dtype),
                 teacher, src['diffusion'])
-        return {'diffusion': student}, {'teacher': teacher}
+        frozen = {'teacher': teacher}
+        if self.teacher_quant == 'int8':
+            from ..utils.quantize import quantize_weights_int8
+            frozen['teacher'], frozen['teacher_quant'] = \
+                quantize_weights_int8(teacher,
+                                      min_size=self.teacher_quant_min_size)
+        return {'diffusion': student}, frozen
 
     def teacher_fn(self, frozen):
         teacher_params = jax.lax.stop_gradient(frozen['teacher'])
+        if 'teacher_quant' in frozen:
+            teacher_params = {'params': teacher_params,
+                              'quant': frozen['teacher_quant']}
 
         def fn(x_t, t, **kw):
             return self.teacher.forward_u(

@@ -48,6 +48,8 @@ class LatentDiffusionTextImage(BaseModel):
                  text_embed_dim: int = 4096, pooled_dim: int = 768,
                  max_text_len: int = 512,
                  frozen_dtype: Optional[str] = None,
+                 frozen_quant: Optional[str] = None,
+                 frozen_quant_min_size: int = 2 ** 16,
                  train_cfg=None, test_cfg=None):
         super().__init__(train_cfg, test_cfg)
         # `pretrained=` on the denoising cfg loads real (converted diffusers)
@@ -97,6 +99,17 @@ class LatentDiffusionTextImage(BaseModel):
         # trainable modules fp32 — _fsdp_train.py:36-37 + utils.py:22-81);
         # None keeps init/load precision (fp32)
         self.frozen_dtype = frozen_dtype
+        # 'int8': per-output-channel int8 on the frozen trunk's big kernels
+        # (weights never update, so quantization is a one-time transform);
+        # halves frozen HBM again vs bf16 — roughly doubles the trainable
+        # on-chip model scale. Gradients flow through the dequantized dots
+        # into the fp32 adapter (weight-only: compute stays bf16).
+        # Beyond-reference capability (the reference trains the trunk in
+        # bf16 only); quality gated by tests/test_quantized_quality.py's
+        # int8-teacher distillation run.
+        assert frozen_quant in (None, 'int8'), frozen_quant
+        self.frozen_quant = frozen_quant
+        self.frozen_quant_min_size = frozen_quant_min_size
 
     @property
     def ema_keys(self):
@@ -218,17 +231,35 @@ class LatentDiffusionTextImage(BaseModel):
             frozen = jax.tree.map(
                 lambda x: x.astype(dt)
                 if jnp.issubdtype(x.dtype, jnp.floating) else x, frozen)
+        if self.frozen_quant == 'int8':
+            from ..utils.quantize import quantize_weights_int8
+            frozen['base'], frozen['base_quant'] = quantize_weights_int8(
+                frozen['base'], min_size=self.frozen_quant_min_size)
+            if 'teacher_full' in frozen:
+                frozen['teacher_full'], frozen['teacher_quant'] = \
+                    quantize_weights_int8(
+                        frozen['teacher_full'],
+                        min_size=self.frozen_quant_min_size)
         return {'diffusion': adapter}, frozen
 
+    def _with_quant(self, params, frozen, quant_key='base_quant'):
+        if quant_key in frozen:
+            return {'params': params, 'quant': frozen[quant_key]}
+        return params
+
     def student_params(self, trainable, frozen):
-        return merge_params(frozen['base'], trainable['diffusion'])
+        return self._with_quant(
+            merge_params(frozen['base'], trainable['diffusion']), frozen)
 
     def teacher_params(self, frozen):
         if 'teacher_full' in frozen:
-            return frozen['teacher_full']
+            return self._with_quant(frozen['teacher_full'], frozen,
+                                    'teacher_quant')
         # note: single-block 'proj_out' layers exist in base too; the teacher
         # head partition keeps both — overlay order makes teacher head win
-        return merge_params(frozen['base'], frozen.get('teacher_head', {}))
+        return self._with_quant(
+            merge_params(frozen['base'], frozen.get('teacher_head', {})),
+            frozen)
 
     # ---- batch plumbing ------------------------------------------------------
     def _prompt_embeds(self, batch: Dict[str, Any], negative: bool = False

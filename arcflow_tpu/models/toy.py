@@ -153,6 +153,14 @@ class ToyArcFlowDenoiser(nn.Module):
     time_embed_dim: int = 64
     num_timesteps: int = 1000
     fourier_freqs: int = 0   # 0 keeps the legacy raw-coordinate input
+    # >0: insert an expert-choice MoE FFN (layers.MoEFeedForward, the same
+    # module the DiT blocks use, params under a 'moe' scope for EP
+    # placement) mid-trunk, treating the point batch as the routed sequence
+    # — different checkerboard regions route to different experts. Makes
+    # the toy path a TRAINED quality gate for MoE/EP
+    # (tests/test_quantized_quality.py::test_moe_student_distillation_quality).
+    moe_experts: int = 0
+    moe_capacity_factor: float = 2.0
 
     @nn.compact
     def __call__(self, x_t: Array, t: Array, **kwargs) -> dict:
@@ -161,8 +169,14 @@ class ToyArcFlowDenoiser(nn.Module):
                                   self.time_embed_dim)
         h = jnp.concatenate(
             [x_t, fourier_features(x_t, self.fourier_freqs), temb], axis=-1)
-        for width in self.hidden:
+        for i, width in enumerate(self.hidden):
             h = nn.silu(_trunk_dense(width)(h))
+            if self.moe_experts > 0 and i == len(self.hidden) // 2:
+                from .layers import MoEFeedForward
+                h = h + MoEFeedForward(
+                    width, self.moe_experts,
+                    capacity_factor=self.moe_capacity_factor, mult=2,
+                    dtype=jnp.float32, name='moe')(h[None])[0]
 
         def gamma_bias_init(key, shape, dtype=jnp.float32):
             del key
