@@ -424,11 +424,19 @@ def bench_train(layers, single_layers, latent=64, txt=512, batch=1, iters=6,
                        diffusion_grad_clip=50.0),
         test_cfg=dict(nfe=2, timestep_ratio=1.0))
 
-    trainable, frozen = model.init_params(jax.random.PRNGKey(0))
+    # ONE jitted init program: the per-leaf eager path costs thousands of
+    # tunnel dispatches and holds the full fp32 tree on the chip before the
+    # bf16 cast / int8 quantize; under jit XLA frees each fp32 leaf after
+    # its cast, so the reachable geometry is set by the TRAINED state, not
+    # the init peak
+    t0 = time.perf_counter()
+    trainable, frozen = jax.jit(model.init_params)(jax.random.PRNGKey(0))
+    jax.block_until_ready(frozen)
     n_params = sum(x.size for x in jax.tree.leaves((trainable, frozen)))
     n_train = sum(x.size for x in jax.tree.leaves(trainable))
     log(f'train config: {layers}j+{single_layers}s, {n_params / 1e9:.2f}B '
-        f'params ({n_train / 1e6:.0f}M trainable)')
+        f'params ({n_train / 1e6:.0f}M trainable); init '
+        f'{time.perf_counter() - t0:.1f}s')
     optimizers = {'diffusion': optax.adamw(1e-4)}
     state = TrainState.create(jax.random.PRNGKey(1), trainable, frozen,
                               optimizers, ema_keys=model.ema_keys)
