@@ -15,6 +15,8 @@ ALL_CONFIGS = [
     'toy/checkerboard_flow.py',
     'toy/checkerboard_arcflow_2nfe.py',
     'flux/arcflux_2nfe_k16.py',
+    'flux/arcflux_2nfe_k16_int8trunk.py',
+    'toy/checkerboard_arcflow_2nfe_moe.py',
     'qwen/arcqwen_2nfe_k16.py',
     'imagenet/imagenet256_flow.py',
 ]
