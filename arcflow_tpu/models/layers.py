@@ -78,7 +78,7 @@ def _int4_matmul(x: Array, packed: Array, scale: Array, dtype) -> Array:
         xq = jnp.clip(jnp.round(x32 / xs), -127, 127).astype(jnp.int8)
         sc2 = scale.astype(jnp.float32)[:, 0, :]     # (G, out)
 
-        from ..ops.quant_matmul import (pick_block_m, w4a8_matmul_pallas,
+        from ..ops.quant_matmul import (pick_blocks, w4a8_matmul_pallas,
                                         w4a8_ok)
         if w4a8_ok(x, packed, scale):
             m = 1
@@ -88,8 +88,9 @@ def _int4_matmul(x: Array, packed: Array, scale: Array, dtype) -> Array:
             xq2 = xq.reshape(m, x.shape[-1])
             if mp != m:
                 xq2 = jnp.pad(xq2, ((0, mp - m), (0, 0)))
-            y = w4a8_matmul_pallas(xq2, packed, sc2,
-                                   block_m=pick_block_m(mp))
+            bm, bn, kg = pick_blocks(mp, out, G)
+            y = w4a8_matmul_pallas(xq2, packed, sc2, block_m=bm,
+                                   block_n=bn, k_groups=kg)
             y = y[:m].reshape(*x.shape[:-1], out)
             return (y * xs).astype(dtype)
 

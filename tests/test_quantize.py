@@ -226,3 +226,37 @@ def test_w4a8_pallas_kernel_interpret_parity():
         * np.asarray(scale)[:, None, :]
     want = np.asarray(xq, np.float32) @ wf.reshape(k, n)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-3)
+
+
+def test_w4a8_pick_blocks_tuned_layout_parity():
+    """pick_blocks returns the swept-on-v5e tuned layout (block_n=1024,
+    block_m=512, k_groups=12 halved to divide g) for MLP-shaped outputs,
+    and the kernel is numerically identical under that layout (interpret
+    mode; the 9-13% win itself is measured on the real chip, README)."""
+    from arcflow_tpu.ops.quant_matmul import pick_blocks, w4a8_matmul_pallas
+    from arcflow_tpu.utils.quantize import pack_int4
+
+    # serving shapes: MLP-wide N picks the fat output tile + VMEM-safe bm
+    assert pick_blocks(4096, 12288, 24) == (512, 1024, 12)
+    assert pick_blocks(512, 3072, 96) == (512, 1024, 12)
+    # non-1024-divisible N keeps the original layout
+    assert pick_blocks(4608, 512, 24) == (1536, 512, 4)
+
+    m, k, n, group = 512, 256, 1024, 64
+    ks = jax.random.split(jax.random.PRNGKey(8), 2)
+    xq = jax.random.randint(ks[0], (m, k), -127, 128, jnp.int8)
+    q = jax.random.randint(ks[1], (k, n), -8, 8, jnp.int8)
+    g = k // group
+    scale = (0.01 + 0.05 * jax.random.uniform(
+        jax.random.PRNGKey(9), (g, n))).astype(jnp.float32)
+    packed = pack_int4(q, group)
+
+    bm, bn, kg = pick_blocks(m, n, g)
+    assert (bm, bn) == (512, 1024)
+    got = np.asarray(w4a8_matmul_pallas(
+        xq, packed, scale, block_m=bm, block_n=bn, k_groups=kg,
+        interpret=True))
+    wf = np.asarray(q, np.float32).reshape(g, group, n) \
+        * np.asarray(scale)[:, None, :]
+    want = np.asarray(xq, np.float32) @ wf.reshape(k, n)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-3)
