@@ -1053,8 +1053,10 @@ def main():
     e2e = per_img + vae_decode_s
     imgs_per_sec = 1.0 / e2e
     target = 0.125  # north star: <1 s e2e on v5p-8 => 0.125 img/s/chip
-    mode = ('int8 weights + int8 activations (w8a8; trained-student quality '
-            'gated within 0.08 in-support of fp32 by '
+    mode = ('w4a8 (int4 group-128 weights, int8 acts)'
+            if args_cli.w8a8 and args_cli.int4
+            else 'int8 weights + int8 activations (w8a8; trained-student '
+            'quality gated within 0.08 in-support of fp32 by '
             'tests/test_quantized_quality.py)' if args_cli.w8a8
             else 'weight-only int4, group-128 scales' if args_cli.int4
             else 'weight-only int8, bf16 compute' if int8_mode else 'bf16')
