@@ -118,6 +118,12 @@ class Encoder(nn.Module):
         return h   # (B, H/8, W/8, 2*latent) = [mean, logvar]
 
 
+# NOTE (measured, do not re-try blindly): running the GroupNorms in bf16
+# instead of fp32 (threading a norm_dtype through every block) was measured
+# on the real chip at 1024px decode: 91.8 -> 91.7 ms (0.1%), with
+# max|out diff| 0.033 on a 6.2 output range. XLA already fuses the
+# norm->silu->conv chains, so the fp32 intermediates never hit HBM; the
+# knob buys nothing and was reverted.
 class Decoder(nn.Module):
     block_out_channels: Sequence[int] = (128, 256, 512, 512)
     layers_per_block: int = 2
