@@ -103,6 +103,7 @@ class Distillation2D(BaseModel):
                  diffusion_use_ema=True, teacher_guidance_scale=1.0,
                  teacher_ckpt=None, teacher_use_ema=True,
                  teacher_quant=None, teacher_quant_min_size=1024,
+                 teacher_quant_group_size=32,
                  train_cfg=None, test_cfg=None):
         super().__init__(train_cfg, test_cfg)
         self.diffusion = build_module(
@@ -114,12 +115,14 @@ class Distillation2D(BaseModel):
         self.teacher_guidance_scale = teacher_guidance_scale
         self.teacher_ckpt = teacher_ckpt
         self.teacher_use_ema = teacher_use_ema
-        # 'int8': quantize the frozen teacher's big kernels — the toy-scale
-        # mirror of LatentDiffusionTextImage's frozen_quant (distill with an
-        # int8 teacher; quality gated by tests/test_quantized_quality.py)
-        assert teacher_quant in (None, 'int8'), teacher_quant
+        # 'int8'/'int4': quantize the frozen teacher's big kernels — the
+        # toy-scale mirror of LatentDiffusionTextImage's frozen_quant
+        # (distill with a quantized teacher; quality gated by
+        # tests/test_quantized_quality.py)
+        assert teacher_quant in (None, 'int8', 'int4'), teacher_quant
         self.teacher_quant = teacher_quant
         self.teacher_quant_min_size = teacher_quant_min_size
+        self.teacher_quant_group_size = teacher_quant_group_size
 
     @property
     def ema_keys(self):
@@ -145,6 +148,12 @@ class Distillation2D(BaseModel):
             frozen['teacher'], frozen['teacher_quant'] = \
                 quantize_weights_int8(teacher,
                                       min_size=self.teacher_quant_min_size)
+        elif self.teacher_quant == 'int4':
+            from ..utils.quantize import quantize_weights_int4
+            frozen['teacher'], frozen['teacher_quant'] = \
+                quantize_weights_int4(
+                    teacher, min_size=self.teacher_quant_min_size,
+                    group_size=self.teacher_quant_group_size)
         return {'diffusion': student}, frozen
 
     def teacher_fn(self, frozen):

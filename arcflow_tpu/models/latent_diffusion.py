@@ -50,6 +50,7 @@ class LatentDiffusionTextImage(BaseModel):
                  frozen_dtype: Optional[str] = None,
                  frozen_quant: Optional[str] = None,
                  frozen_quant_min_size: int = 2 ** 16,
+                 frozen_quant_group_size: int = 128,
                  train_cfg=None, test_cfg=None):
         super().__init__(train_cfg, test_cfg)
         # `pretrained=` on the denoising cfg loads real (converted diffusers)
@@ -102,14 +103,19 @@ class LatentDiffusionTextImage(BaseModel):
         # 'int8': per-output-channel int8 on the frozen trunk's big kernels
         # (weights never update, so quantization is a one-time transform);
         # halves frozen HBM again vs bf16 — roughly doubles the trainable
-        # on-chip model scale. Gradients flow through the dequantized dots
-        # into the fp32 adapter (weight-only: compute stays bf16).
-        # Beyond-reference capability (the reference trains the trunk in
-        # bf16 only); quality gated by tests/test_quantized_quality.py's
-        # int8-teacher distillation run.
-        assert frozen_quant in (None, 'int8'), frozen_quant
+        # on-chip model scale. 'int4': nibble-packed group-wise int4 —
+        # quarter of bf16, halving the trunk again (the weight-only int4
+        # matmul is differentiable w.r.t. activations, so LoRA gradients
+        # flow through it unchanged). Gradients flow through the
+        # dequantized dots into the fp32 adapter (weight-only: compute
+        # stays bf16). Beyond-reference capability (the reference trains
+        # the trunk in bf16 only); quality gated by
+        # tests/test_quantized_quality.py's int8-/int4-teacher
+        # distillation runs.
+        assert frozen_quant in (None, 'int8', 'int4'), frozen_quant
         self.frozen_quant = frozen_quant
         self.frozen_quant_min_size = frozen_quant_min_size
+        self.frozen_quant_group_size = frozen_quant_group_size
 
     @property
     def ema_keys(self):
@@ -231,15 +237,20 @@ class LatentDiffusionTextImage(BaseModel):
             frozen = jax.tree.map(
                 lambda x: x.astype(dt)
                 if jnp.issubdtype(x.dtype, jnp.floating) else x, frozen)
-        if self.frozen_quant == 'int8':
-            from ..utils.quantize import quantize_weights_int8
-            frozen['base'], frozen['base_quant'] = quantize_weights_int8(
-                frozen['base'], min_size=self.frozen_quant_min_size)
+        if self.frozen_quant is not None:
+            from ..utils.quantize import (quantize_weights_int4,
+                                          quantize_weights_int8)
+            if self.frozen_quant == 'int8':
+                quant_fn = lambda p: quantize_weights_int8(  # noqa: E731
+                    p, min_size=self.frozen_quant_min_size)
+            else:
+                quant_fn = lambda p: quantize_weights_int4(  # noqa: E731
+                    p, min_size=self.frozen_quant_min_size,
+                    group_size=self.frozen_quant_group_size)
+            frozen['base'], frozen['base_quant'] = quant_fn(frozen['base'])
             if 'teacher_full' in frozen:
                 frozen['teacher_full'], frozen['teacher_quant'] = \
-                    quantize_weights_int8(
-                        frozen['teacher_full'],
-                        min_size=self.frozen_quant_min_size)
+                    quant_fn(frozen['teacher_full'])
         return {'diffusion': adapter}, frozen
 
     def _with_quant(self, params, frozen, quant_key='base_quant'):

@@ -432,7 +432,15 @@ def bench_train(layers, single_layers, latent=64, txt=512, batch=1, iters=6,
     t0 = time.perf_counter()
     trainable, frozen = jax.jit(model.init_params)(jax.random.PRNGKey(0))
     jax.block_until_ready(frozen)
-    n_params = sum(x.size for x in jax.tree.leaves((trainable, frozen)))
+    # count PARAMETERS, not array elements: int4 trunks pack two weights
+    # per int8 element ('kernel_packed4'), so size alone would halve the
+    # reported scale (and scale tables aren't model weights at all)
+    from arcflow_tpu.utils.pytree import flatten as _flatten
+    flat = _flatten({'t': trainable, 'f': frozen})
+    n_params = sum(
+        v.size * (2 if k.endswith('kernel_packed4') else 1)
+        for k, v in flat.items()
+        if not (k.endswith('_scale') or k.endswith('_scale4')))
     n_train = sum(x.size for x in jax.tree.leaves(trainable))
     log(f'train config: {layers}j+{single_layers}s, {n_params / 1e9:.2f}B '
         f'params ({n_train / 1e6:.0f}M trainable); init '
@@ -782,6 +790,11 @@ def main():
                         'roughly doubles the measurable on-chip training '
                         'scale; quality gated by '
                         'tests/test_quantized_quality.py')
+    p.add_argument('--frozen-int4', action='store_true',
+                   help='with --train: nibble-packed group-128 int4 frozen '
+                        'trunk — quarter of bf16, halving trunk HBM again '
+                        'vs --frozen-int8; quality gated by the int4-teacher '
+                        'distillation run in tests/test_quantized_quality.py')
     p.add_argument('--train', action='store_true',
                    help='benchmark the full distillation optimizer step '
                         '(10 DiT forwards + backward, clip, EMA) instead '
@@ -889,12 +902,18 @@ def main():
                 # int8 frozen trunk: the HBM budget doubles the reachable
                 # scale — start the ladder at the larger geometries
                 ladder = [(10, 20), (8, 16), (6, 12), (4, 8)]
+            if args_cli.frozen_int4:
+                # int4 trunk halves frozen HBM again vs int8 (6.65B fit at
+                # int8; 12j+24s=7.9B missed by 2.15 GB — int4 recovers ~4 GB
+                # there)
+                ladder = [(14, 28), (13, 26), (12, 24), (10, 20)]
+            quant_flag = (['--frozen-int4'] if args_cli.frozen_int4 else
+                          ['--frozen-int8'] if args_cli.frozen_int8 else [])
             for layers, single in ladder:
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), '--train',
                      '--layers', str(layers), '--single', str(single),
-                     '--batch', str(args_cli.batch)]
-                    + (['--frozen-int8'] if args_cli.frozen_int8 else []),
+                     '--batch', str(args_cli.batch)] + quant_flag,
                     capture_output=True, text=True)
                 sys.stderr.write(r.stderr)
                 line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() \
@@ -909,11 +928,12 @@ def main():
             return
         layers = args_cli.layers
         single = args_cli.single or layers * 2
-        fq = 'int8' if args_cli.frozen_int8 else None
+        fq = ('int4' if args_cli.frozen_int4 else
+              'int8' if args_cli.frozen_int8 else None)
         sec, n_params = bench_train(layers, single, batch=args_cli.batch,
                                     frozen_quant=fq)
         log(f'train step: {sec * 1000:.1f} ms')
-        trunk = ', int8 frozen trunk' if fq else ''
+        trunk = f', {fq} frozen trunk' if fq else ''
         print(json.dumps(dict(
             metric=f'distillation optimizer steps/sec, 512px 2-NFE '
                    f'(ArcFlux {layers}j+{single}s {n_params / 1e9:.2f}B '

@@ -146,6 +146,48 @@ def test_int8_teacher_distillation_quality(distilled):
     assert abs(base - q) < 0.08, (base, q)
 
 
+def test_int4_teacher_distillation_quality(distilled):
+    """Distill with an int4-quantized (nibble-packed, group-wise scales)
+    FROZEN teacher — the frozen_quant='int4' training mode that halves
+    frozen-trunk HBM again vs int8 (bench.py --train --frozen-int4). The
+    weight-only int4 matmul is differentiable w.r.t. activations, so the
+    student's LoRA gradients flow through the packed teacher unchanged;
+    the trained student must reach the bf16-teacher quality gate."""
+    base_state, model = distilled['state'], distilled['model']
+    base = _in_support(_sample(
+        model, base_state.params_for_eval('diffusion', prefer_ema=True)))
+
+    dcfg = Config.fromfile(
+        os.path.join(CFG_DIR, 'checkerboard_arcflow_2nfe.py'))
+    dcfg.merge_from_dict({
+        'model.teacher_ckpt': distilled['dcfg'].model['teacher_ckpt'],
+        'model.teacher_quant': 'int4',
+        'model.teacher_quant_group_size': 32,
+        'model.diffusion.denoising.hidden': (128, 128),
+        'model.teacher.denoising.hidden': (128, 128),
+        'data.train.n_rc': 2,
+        'data.train_dataloader.samples_per_gpu': 256,
+        'total_iters': 800,
+        'train_cfg.num_decay_iters': 300,
+        'checkpoint_config.interval': 800,
+        'log_config.interval': 400,
+    })
+    dcfg.work_dir = str(distilled['tmp_path'] / 'distill_int4_teacher')
+    state, qmodel = train_model(dcfg, seed=0)
+
+    # the packed kernels must actually be in play (in the quant tree, out
+    # of the teacher param tree)
+    from arcflow_tpu.utils.pytree import flatten as _flat
+    tq = _flat(state.frozen['teacher_quant'])
+    assert any(k.endswith('kernel_packed4') for k in tq), sorted(tq)[:5]
+
+    q = _in_support(_sample(
+        qmodel, state.params_for_eval('diffusion', prefer_ema=True)))
+    print(f'in-support: bf16-teacher {base:.3f}, int4-teacher {q:.3f}')
+    assert q > 0.6, f'int4-teacher student only {q:.2%} in support'
+    assert abs(base - q) < 0.10, (base, q)
+
+
 def test_moe_student_distillation_quality(distilled):
     """Train the expert-choice MoE student config
     (configs/toy/checkerboard_arcflow_2nfe_moe.py) end-to-end against the
