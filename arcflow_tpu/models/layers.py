@@ -510,10 +510,14 @@ def _flash_call(q: Array, k: Array, v: Array,
     # explicit block sizes matter: the kernel's defaults leave ~5x on the
     # table at FLUX shapes (measured 15ms -> 3.0ms at S=4608 on v5e)
     bq = min(512, s)
+    # forward-only: a taller q block amortizes the kv stream further
+    # (measured ~7% kernel-level at S=4608); the dkv/dq backward blocks
+    # stay at 512 — untuned territory, and training wasn't remeasured
+    bq_fwd = next(b for b in (1536, 1024, 512, s) if s % b == 0)
     bk_major = next(b for b in (1536, 1024, 512, s) if s % b == 0)
     bk = min(512, bk_major)
     block_sizes = BlockSizes(
-        block_q=bq, block_k_major=bk_major, block_k=bk, block_b=1,
+        block_q=bq_fwd, block_k_major=bk_major, block_k=bk, block_b=1,
         block_q_major_dkv=bq, block_k_major_dkv=bk_major, block_k_dkv=bk,
         block_q_dkv=bq, block_k_major_dq=bk_major, block_k_dq=bk,
         block_q_dq=bq)

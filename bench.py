@@ -375,7 +375,7 @@ def bench_vae_decode(latent=128, iters=4):
 
 
 def bench_train(layers, single_layers, latent=64, txt=512, batch=1, iters=6,
-                frozen_quant=None):
+                frozen_quant=None, optim='adamw'):
     """One full 2-NFE distillation optimizer step on one chip: per NFE step
     a student forward + 4 CFG'd frozen-teacher queries per segment, summed
     loss, one backward, per-submodule clip with NaN skip, in-step karras EMA
@@ -445,7 +445,14 @@ def bench_train(layers, single_layers, latent=64, txt=512, batch=1, iters=6,
     log(f'train config: {layers}j+{single_layers}s, {n_params / 1e9:.2f}B '
         f'params ({n_train / 1e6:.0f}M trainable); init '
         f'{time.perf_counter() - t0:.1f}s')
-    optimizers = {'diffusion': optax.adamw(1e-4)}
+    # built through the product builder (runner/optim.py), not raw optax:
+    # 'adamw8bit' resolves the reference's bitsandbytes memory-efficient
+    # slot to Adafactor — no fp32 m/v pair (~8 bytes/trainable param saved),
+    # which is what lets the biggest ladder geometries train on one chip
+    from arcflow_tpu.runner.optim import build_single_optimizer
+    opt_cfg = (dict(type='AdamW8bit', lr=1e-4) if optim == 'adamw8bit'
+               else dict(type='AdamW', lr=1e-4))
+    optimizers = {'diffusion': build_single_optimizer(opt_cfg, None)}
     state = TrainState.create(jax.random.PRNGKey(1), trainable, frozen,
                               optimizers, ema_keys=model.ema_keys)
     ks = jax.random.split(jax.random.PRNGKey(2), 3)
@@ -459,6 +466,13 @@ def bench_train(layers, single_layers, latent=64, txt=512, batch=1, iters=6,
             encoder_hidden_states=jnp.zeros((batch, txt, 4096)),
             pooled_projections=jnp.zeros((batch, 768))))
 
+    # evict the init / TrainState.create executables before the train step
+    # loads — compiled programs live in HBM (the 12j train step alone is
+    # 645 MB of generated code per memory_analysis). Measured: this alone
+    # does NOT unlock the next ladder rung (the binding term is the train
+    # step's own args + temps + code, which the TPU sums with no
+    # arg/temp overlap), but it removes dead code from the accounting.
+    jax.clear_caches()
     train_step = build_train_step(
         model, optimizers, train_cfg=model.train_cfg,
         ema_cfg=EmaConfig(momentum_policy='karras'), donate=True)
@@ -795,6 +809,14 @@ def main():
                         'trunk — quarter of bf16, halving trunk HBM again '
                         'vs --frozen-int8; quality gated by the int4-teacher '
                         'distillation run in tests/test_quantized_quality.py')
+    p.add_argument('--optim', choices=('adamw', 'adamw8bit'),
+                   default='adamw',
+                   help="with --train: optimizer for the measured step. "
+                        "'adamw8bit' is the reference's bitsandbytes "
+                        'memory-efficient slot (maps to Adafactor here, '
+                        'runner/optim.py) — dropping the fp32 Adam m/v '
+                        'pair frees ~8 bytes/trainable param of HBM for '
+                        'bigger geometries')
     p.add_argument('--train', action='store_true',
                    help='benchmark the full distillation optimizer step '
                         '(10 DiT forwards + backward, clip, EMA) instead '
@@ -909,11 +931,15 @@ def main():
                 ladder = [(14, 28), (13, 26), (12, 24), (10, 20)]
             quant_flag = (['--frozen-int4'] if args_cli.frozen_int4 else
                           ['--frozen-int8'] if args_cli.frozen_int8 else [])
+            if args_cli.optim == 'adamw8bit' and args_cli.frozen_int4:
+                # no fp32 m/v + int4 trunk: the ladder reaches past 12j
+                ladder = [(19, 38), (17, 34), (16, 32)] + ladder
             for layers, single in ladder:
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), '--train',
                      '--layers', str(layers), '--single', str(single),
-                     '--batch', str(args_cli.batch)] + quant_flag,
+                     '--batch', str(args_cli.batch),
+                     '--optim', args_cli.optim] + quant_flag,
                     capture_output=True, text=True)
                 sys.stderr.write(r.stderr)
                 line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() \
@@ -931,9 +957,11 @@ def main():
         fq = ('int4' if args_cli.frozen_int4 else
               'int8' if args_cli.frozen_int8 else None)
         sec, n_params = bench_train(layers, single, batch=args_cli.batch,
-                                    frozen_quant=fq)
+                                    frozen_quant=fq, optim=args_cli.optim)
         log(f'train step: {sec * 1000:.1f} ms')
         trunk = f', {fq} frozen trunk' if fq else ''
+        if args_cli.optim == 'adamw8bit':
+            trunk += ', adafactor (AdamW8bit slot)'
         print(json.dumps(dict(
             metric=f'distillation optimizer steps/sec, 512px 2-NFE '
                    f'(ArcFlux {layers}j+{single}s {n_params / 1e9:.2f}B '
