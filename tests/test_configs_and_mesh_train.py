@@ -16,6 +16,7 @@ ALL_CONFIGS = [
     'toy/checkerboard_arcflow_2nfe.py',
     'flux/arcflux_2nfe_k16.py',
     'flux/arcflux_2nfe_k16_int8trunk.py',
+    'flux/arcflux_2nfe_k16_int4trunk.py',
     'toy/checkerboard_arcflow_2nfe_moe.py',
     'qwen/arcqwen_2nfe_k16.py',
     'imagenet/imagenet256_flow.py',

@@ -103,6 +103,37 @@ def test_train_step_descends_and_counts():
     assert 0.9 < float(state.ema['net']['w'][0]) <= 1.0
 
 
+def test_adamw8bit_slot_trains():
+    """The reference's bitsandbytes AdamW8bit slot resolves to Adafactor
+    through the product builder (runner/optim.py) and descends through the
+    full train step — the path `bench.py --train --optim adamw8bit` runs.
+    Its state must carry no full-size fp32 m/v pair (that is the point)."""
+    model = QuadraticModel()
+    # NOT zero-init: adafactor's multiply_by_parameter_scale stalls at the
+    # origin (update ∝ ||w||) — the real models never start there
+    trainable = {'net': {'w': 0.3 * jax.random.normal(
+        jax.random.PRNGKey(7), (128, 256))}}
+    optimizers = {'net': build_single_optimizer(
+        dict(type='AdamW8bit', lr=0.05), None)}
+    state = TrainState.create(jax.random.PRNGKey(0), trainable, {},
+                              optimizers, ema_keys=('net',))
+    step = build_train_step(model, optimizers, train_cfg={},
+                            ema_cfg=EmaConfig(momentum_policy='fixed',
+                                              momentum=0.5), donate=False)
+    batch = {'target': jnp.ones((4, 128, 256))}
+    loss0 = None
+    for i in range(60):
+        state, logs = step(state, batch)
+        if loss0 is None:
+            loss0 = float(logs['loss'])
+    assert float(logs['loss']) < loss0 * 0.5
+    # factored second moments only: no optimizer leaf matches the full
+    # (128, 256) param shape (adam would carry two)
+    full = [x for x in jax.tree.leaves(state.opt_states)
+            if getattr(x, 'shape', None) == (128, 256)]
+    assert not full, [x.shape for x in full]
+
+
 def test_train_step_grad_accum_equivalence():
     state1, step1 = make_state_and_step(grad_accum_steps=1)
     state4, step4 = make_state_and_step(grad_accum_steps=4)
