@@ -430,18 +430,31 @@ def rope_frequencies(ids: Array, axes_dim: Sequence[int], theta: float = 10000.0
 def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
     """Pairwise rotation in interleaved layout: x shape (..., S, D).
 
-    The rotated companion ``x_rot[2i] = -x[2i+1], x_rot[2i+1] = x[2i]`` is
-    built with two lane-rolls and an even/odd select instead of the naive
-    ``reshape(..., D//2, 2)`` + ``stack``: the 5-D pair view forces a
-    T(2,128)-tiled layout on TPU, and the profiler showed each joint block
-    paying several f32 relayout copies (~10% of e2e serving time) to get
-    in and out of it. Rolls on the minor (lane) axis keep the native
-    (8,128) tiling and fuse into the surrounding elementwise chain.
+    Two bit-identical formulations of the rotated companion
+    ``x_rot[2i] = -x[2i+1], x_rot[2i+1] = x[2i]``, selected at trace time
+    by the serving mode (measured on v5e, FLUX-12B e2e):
+
+    * lane-roll (two rolls + even/odd select): under int8-activation
+      serving (w8a8/w4a8) the naive pair view forced T(2,128)-tiled 5-D
+      f32 intermediates and relayout copies worth ~10% of e2e — rolls
+      stay in the native (8,128) tiling and fuse (+4.3% w8a8, +5.7% w4a8,
+      +7.7% Qwen).
+    * pair-reshape + stack: in bf16-compute programs (training, --int8/
+      --bf16 serving) XLA fuses THIS form into the dot epilogues better —
+      the roll form measured 3-4% SLOWER there (serving int8 1047->1083 ms,
+      int8-trunk train step 1879->1950 ms). Do not unify the two paths
+      without remeasuring all four modes.
     """
+    from ..utils.quantize import act_quant_active
     x32 = x.astype(jnp.float32)
-    even = (jnp.arange(x.shape[-1]) % 2) == 0
-    x_rot = jnp.where(even, -jnp.roll(x32, -1, axis=-1),
-                      jnp.roll(x32, 1, axis=-1))
+    if act_quant_active():
+        even = (jnp.arange(x.shape[-1]) % 2) == 0
+        x_rot = jnp.where(even, -jnp.roll(x32, -1, axis=-1),
+                          jnp.roll(x32, 1, axis=-1))
+    else:
+        x_pairs = x32.reshape(*x32.shape[:-1], -1, 2)
+        x_rot = jnp.stack([-x_pairs[..., 1], x_pairs[..., 0]],
+                          axis=-1).reshape(x32.shape)
     return (x32 * cos + x_rot * sin).astype(x.dtype)
 
 

@@ -608,7 +608,7 @@ def bench_aot_12b(mesh_axes=None, batch_per_chip=1, latent=128, txt=512):
 
 
 def bench_aot_infer(mesh_axes, latent=128, txt=512, sp_mode='ulysses',
-                    single_chip_ms=889.7):
+                    single_chip_ms=841.0):
     """Multi-chip evidence for the inference north star (<1 s on v5p-8):
     AOT-compile the FULL 12B w8a8 2-NFE sampling program over a simulated
     v5p-8 inference mesh (sp x tensor [x fsdp], the single-image layout) and
@@ -622,7 +622,8 @@ def bench_aot_infer(mesh_axes, latent=128, txt=512, sp_mode='ulysses',
 
     Roofline model (assumptions recorded in the artifact):
       * compute: the MEASURED single-chip w8a8 transformer per-image time
-        (BENCH_r03: 889.7 ms, full 12B geometry) divided by the axes that
+        (841.0 ms post-RoPE/flash-block tuning, full 12B geometry)
+        divided by the axes that
         partition compute for batch 1 — 'tensor' x 'sp' (fsdp only shards
         storage at batch 1);
       * comm: per-chip collective bytes from the optimized HLO (SPMD module
@@ -919,7 +920,7 @@ def main():
             # a config that fits on a clean chip then OOMs too. One process
             # per attempt guarantees a clean device state.
             import subprocess
-            ladder = [(4, 8), (3, 6), (2, 4), (1, 2)]
+            ladder = [(6, 12), (5, 10), (4, 8), (3, 6), (2, 4), (1, 2)]
             if args_cli.frozen_int8:
                 # int8 frozen trunk: the HBM budget doubles the reachable
                 # scale — start the ladder at the larger geometries
