@@ -920,7 +920,9 @@ def main():
             # a config that fits on a clean chip then OOMs too. One process
             # per attempt guarantees a clean device state.
             import subprocess
-            ladder = [(6, 12), (5, 10), (4, 8), (3, 6), (2, 4), (1, 2)]
+            # measured r4: 7j+14s (4.68B) fits at 1359 ms/step, 8j+16s
+            # runtime-OOMs — start at the known ceiling
+            ladder = [(7, 14), (6, 12), (5, 10), (4, 8), (3, 6), (2, 4)]
             if args_cli.frozen_int8:
                 # int8 frozen trunk: the HBM budget doubles the reachable
                 # scale — start the ladder at the larger geometries
