@@ -375,7 +375,7 @@ def bench_vae_decode(latent=128, iters=4):
 
 
 def bench_train(layers, single_layers, latent=64, txt=512, batch=1, iters=6,
-                frozen_quant=None, optim='adamw'):
+                frozen_quant=None, optim='adamw', family='flux'):
     """One full 2-NFE distillation optimizer step on one chip: per NFE step
     a student forward + 4 CFG'd frozen-teacher queries per segment, summed
     loss, one backward, per-submodule clip with NaN skip, in-step karras EMA
@@ -385,43 +385,62 @@ def bench_train(layers, single_layers, latent=64, txt=512, batch=1, iters=6,
     ``frozen_quant='int8'`` quantizes the frozen trunk (weights never
     update) — halves frozen HBM vs bf16, roughly doubling the measurable
     on-chip training scale; quality gated by
-    tests/test_quantized_quality.py's int8-teacher distillation run."""
+    tests/test_quantized_quality.py's int8-teacher distillation run.
+
+    ``family='qwen'`` measures the ArcQwen distillation step instead
+    (masked 60-block-geometry blocks at depth ``layers``, reference
+    configs/qwen/arcqwen_2nfe_k16.py: joint_attention_dim 3584, teacher
+    CFG 2x batch through the masked flash-attention path, no guidance
+    embeds)."""
     import optax
     from arcflow_tpu.models import LatentDiffusionTextImage
     from arcflow_tpu.runner import EmaConfig, TrainState, build_train_step
 
-    net = dict(in_channels=64, num_layers=layers,
-               num_single_layers=single_layers, attention_head_dim=128,
-               num_attention_heads=24, joint_attention_dim=4096,
-               pooled_projection_dim=768, guidance_embeds=True,
-               checkpointing=True)
+    if family == 'qwen':
+        net = dict(in_channels=64, num_layers=layers,
+                   attention_head_dim=128, num_attention_heads=24,
+                   joint_attention_dim=3584, checkpointing=True)
+        student = dict(type='ArcQwenImageTransformer2DModel', patch_size=2,
+                       num_gaussians=16, lora_rank=256, **net)
+        teacher_net = dict(type='QwenImageTransformer2DModel', patch_size=2,
+                           **net)
+        text_dim, shift = 3584, 3.1
+        guidance_cfg = {}
+    else:
+        net = dict(in_channels=64, num_layers=layers,
+                   num_single_layers=single_layers, attention_head_dim=128,
+                   num_attention_heads=24, joint_attention_dim=4096,
+                   pooled_projection_dim=768, guidance_embeds=True,
+                   checkpointing=True)
+        student = dict(type='ArcFluxTransformer2DModel', patch_size=2,
+                       num_gaussians=16, lora_rank=256, **net)
+        teacher_net = dict(type='FluxTransformer2DModel', patch_size=2,
+                           **net)
+        text_dim, shift = 4096, 3.2
+        guidance_cfg = dict(distilled_guidance_scale=3.5,
+                            teacher_distilled_guidance_scale=3.5)
     model = LatentDiffusionTextImage(
         diffusion=dict(
             type='ArcFlowImitationDataFree', policy_type='ArcFlow',
-            denoising=dict(type='ArcFluxTransformer2DModel', patch_size=2,
-                           num_gaussians=16, lora_rank=256, **net),
+            denoising=student,
             flow_loss=dict(type='DiffusionMSELoss',
                            data_info=dict(pred='u_t_pred', target='u_t'),
                            rescale_cfg=dict(scale=30.0)),
             num_timesteps=1,
             timestep_sampler=dict(type='ContinuousTimeStepSampler',
-                                  shift=3.2)),
-        teacher=dict(type='GaussianFlow',
-                     denoising=dict(type='FluxTransformer2DModel',
-                                    patch_size=2, **net),
+                                  shift=shift)),
+        teacher=dict(type='GaussianFlow', denoising=teacher_net,
                      num_timesteps=1),
         tie_teacher=True,
         # bf16 frozen trunk = the reference's FSDP MixedPrecision layout
         frozen_dtype='bfloat16', frozen_quant=frozen_quant,
-        latent_shape=(latent, latent, 16), text_embed_dim=4096,
+        latent_shape=(latent, latent, 16), text_embed_dim=text_dim,
         pooled_dim=768,
         train_cfg=dict(nfe=2, timestep_ratio=1.0, total_substeps=128,
                        num_intermediate_states=4, window_substeps=3,
                        gm_dropout=0.1, num_decay_iters=100,
-                       distilled_guidance_scale=3.5,
-                       teacher_distilled_guidance_scale=3.5,
                        teacher_guidance_scale=2.0,
-                       diffusion_grad_clip=50.0),
+                       diffusion_grad_clip=50.0, **guidance_cfg),
         test_cfg=dict(nfe=2, timestep_ratio=1.0))
 
     # ONE jitted init program: the per-leaf eager path costs thousands of
@@ -442,7 +461,8 @@ def bench_train(layers, single_layers, latent=64, txt=512, batch=1, iters=6,
         for k, v in flat.items()
         if not (k.endswith('_scale') or k.endswith('_scale4')))
     n_train = sum(x.size for x in jax.tree.leaves(trainable))
-    log(f'train config: {layers}j+{single_layers}s, {n_params / 1e9:.2f}B '
+    geo = f'{layers}j' if family == 'qwen' else f'{layers}j+{single_layers}s'
+    log(f'train config: {family} {geo}, {n_params / 1e9:.2f}B '
         f'params ({n_train / 1e6:.0f}M trainable); init '
         f'{time.perf_counter() - t0:.1f}s')
     # built through the product builder (runner/optim.py), not raw optax:
@@ -456,15 +476,27 @@ def bench_train(layers, single_layers, latent=64, txt=512, batch=1, iters=6,
     state = TrainState.create(jax.random.PRNGKey(1), trainable, frozen,
                               optimizers, ema_keys=model.ema_keys)
     ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    if family == 'qwen':
+        # per-sample text padding, like real Qwen2.5-VL prompt embeds —
+        # teacher CFG concatenates the negative mask too
+        mask = (jnp.arange(txt)[None, :] <
+                jnp.full((batch, 1), int(txt * 0.75))).astype(jnp.int32)
+        pos = dict(encoder_hidden_states=jax.random.normal(
+                       ks[1], (batch, txt, text_dim)),
+                   encoder_hidden_states_mask=mask)
+        neg = dict(encoder_hidden_states=jnp.zeros((batch, txt, text_dim)),
+                   encoder_hidden_states_mask=jnp.ones((batch, txt),
+                                                       jnp.int32))
+    else:
+        pos = dict(encoder_hidden_states=jax.random.normal(
+                       ks[1], (batch, txt, text_dim)),
+                   pooled_projections=jax.random.normal(ks[2], (batch, 768)))
+        neg = dict(encoder_hidden_states=jnp.zeros((batch, txt, text_dim)),
+                   pooled_projections=jnp.zeros((batch, 768)))
     batch_data = dict(
         latents=jax.random.normal(ks[0], (batch, latent, latent, 16)),
-        prompt_embed_kwargs=dict(
-            encoder_hidden_states=jax.random.normal(ks[1],
-                                                    (batch, txt, 4096)),
-            pooled_projections=jax.random.normal(ks[2], (batch, 768))),
-        negative_prompt_embed_kwargs=dict(
-            encoder_hidden_states=jnp.zeros((batch, txt, 4096)),
-            pooled_projections=jnp.zeros((batch, 768))))
+        prompt_embed_kwargs=pos,
+        negative_prompt_embed_kwargs=neg)
 
     # evict the init / TrainState.create executables before the train step
     # loads — compiled programs live in HBM (the 12j train step alone is
@@ -914,6 +946,7 @@ def main():
     log(f'devices: {jax.devices()}')
 
     if args_cli.train:
+        family = 'qwen' if args_cli.qwen else 'flux'
         if args_cli.layers is None:
             # ladder in SUBPROCESSES: after an OOM the (tunneled) TPU does
             # not reclaim the failed attempt's buffers promptly in-process —
@@ -937,12 +970,18 @@ def main():
             if args_cli.optim == 'adamw8bit' and args_cli.frozen_int4:
                 # no fp32 m/v + int4 trunk: the ladder reaches past 12j
                 ladder = [(19, 38), (17, 34), (16, 32)] + ladder
+            if family == 'qwen':
+                # Qwen blocks are ~333M each (20B/60); match the measured
+                # FLUX HBM budgets: bf16 ~4.7B, int8 trunk ~6.7B
+                ladder = [(20, 0), (16, 0), (12, 0)] if quant_flag \
+                    else [(13, 0), (11, 0), (9, 0), (6, 0)]
             for layers, single in ladder:
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), '--train',
                      '--layers', str(layers), '--single', str(single),
                      '--batch', str(args_cli.batch),
-                     '--optim', args_cli.optim] + quant_flag,
+                     '--optim', args_cli.optim] + quant_flag
+                    + (['--qwen'] if family == 'qwen' else []),
                     capture_output=True, text=True)
                 sys.stderr.write(r.stderr)
                 line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() \
@@ -956,18 +995,21 @@ def main():
                                   unit='steps/s', vs_baseline=0.0)))
             return
         layers = args_cli.layers
-        single = args_cli.single or layers * 2
+        single = 0 if family == 'qwen' else (args_cli.single or layers * 2)
         fq = ('int4' if args_cli.frozen_int4 else
               'int8' if args_cli.frozen_int8 else None)
         sec, n_params = bench_train(layers, single, batch=args_cli.batch,
-                                    frozen_quant=fq, optim=args_cli.optim)
+                                    frozen_quant=fq, optim=args_cli.optim,
+                                    family=family)
         log(f'train step: {sec * 1000:.1f} ms')
         trunk = f', {fq} frozen trunk' if fq else ''
         if args_cli.optim == 'adamw8bit':
             trunk += ', adafactor (AdamW8bit slot)'
+        name = ('ArcQwen' if family == 'qwen' else 'ArcFlux')
+        geo = f'{layers}j' if family == 'qwen' else f'{layers}j+{single}s'
         print(json.dumps(dict(
             metric=f'distillation optimizer steps/sec, 512px 2-NFE '
-                   f'(ArcFlux {layers}j+{single}s {n_params / 1e9:.2f}B '
+                   f'({name} {geo} {n_params / 1e9:.2f}B '
                    f'tied teacher+student{trunk}, 10 DiT fwd + 1 bwd per '
                    f'step, measured on one chip)',
             value=round(1.0 / sec, 4), unit='steps/s/chip',
