@@ -172,3 +172,67 @@ def test_qwen_convert_roundtrip_and_pretrained_init(tmp_path):
     np.testing.assert_allclose(kern.reshape(d, 4, out)[:, 2],
                                np.asarray(t_flat['proj_out.kernel']),
                                rtol=1e-6)
+
+
+def test_qwen_distillation_train_step_with_masks():
+    """One full jitted distillation optimizer step on the Qwen family with
+    per-sample ragged text masks flowing through the teacher-CFG path (the
+    negative prompt carries its own mask) — the exact composition
+    ``bench.py --train --qwen`` measures on the real chip. Mirrors the
+    reference's Qwen training entry (configs/qwen/arcqwen_2nfe_k16.py;
+    reference arcqwen.py consumes encoder_hidden_states_mask per sample)."""
+    import optax
+    from arcflow_tpu.models import LatentDiffusionTextImage
+    from arcflow_tpu.runner import EmaConfig, TrainState, build_train_step
+
+    model = LatentDiffusionTextImage(
+        diffusion=dict(
+            type='ArcFlowImitationDataFree', policy_type='ArcFlow',
+            denoising=dict(type='ArcQwenImageTransformer2DModel',
+                           patch_size=2, num_gaussians=4, lora_rank=4,
+                           **TINY),
+            flow_loss=dict(type='DiffusionMSELoss',
+                           data_info=dict(pred='u_t_pred', target='u_t'),
+                           rescale_cfg=dict(scale=30.0)),
+            num_timesteps=1,
+            timestep_sampler=dict(type='ContinuousTimeStepSampler',
+                                  shift=3.1)),
+        teacher=dict(type='GaussianFlow',
+                     denoising=dict(type='QwenImageTransformer2DModel',
+                                    patch_size=2, **TINY),
+                     num_timesteps=1),
+        tie_teacher=True, latent_shape=(8, 8, 4), text_embed_dim=48,
+        pooled_dim=8,
+        train_cfg=dict(nfe=2, timestep_ratio=1.0, total_substeps=128,
+                       num_intermediate_states=2, window_substeps=3,
+                       gm_dropout=0.1, num_decay_iters=100,
+                       teacher_guidance_scale=2.0,
+                       diffusion_grad_clip=50.0),
+        test_cfg=dict(nfe=2, timestep_ratio=1.0))
+    assert model._family == 'qwen'
+    trainable, frozen = model.init_params(jax.random.PRNGKey(0))
+    optimizers = {'diffusion': optax.adamw(1e-4)}
+    state = TrainState.create(jax.random.PRNGKey(1), trainable, frozen,
+                              optimizers, ema_keys=model.ema_keys)
+    step = build_train_step(model, optimizers, train_cfg=model.train_cfg,
+                            ema_cfg=EmaConfig(momentum_policy='karras'),
+                            donate=False)
+    b, s_txt = 2, 6
+    ks = jax.random.split(jax.random.PRNGKey(2), 2)
+    # ragged batch: sample 0 pads the last two tokens, sample 1 none
+    mask = jnp.ones((b, s_txt), jnp.int32).at[0, 4:].set(0)
+    batch = dict(
+        latents=jax.random.normal(ks[0], (b, 8, 8, 4)),
+        prompt_embed_kwargs=dict(
+            encoder_hidden_states=jax.random.normal(ks[1], (b, s_txt, 48)),
+            encoder_hidden_states_mask=mask),
+        negative_prompt_embed_kwargs=dict(
+            encoder_hidden_states=jnp.zeros((b, s_txt, 48)),
+            encoder_hidden_states_mask=jnp.ones((b, s_txt), jnp.int32)))
+    state2, logs = step(state, batch)
+    assert int(state2.step) == 1
+    assert np.isfinite(float(logs['loss']))
+    # frozen trunk untouched by the optimizer step
+    b0, b1 = jax.tree.leaves(state.frozen)[0], jax.tree.leaves(
+        state2.frozen)[0]
+    np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
