@@ -971,9 +971,10 @@ def main():
                 # no fp32 m/v + int4 trunk: the ladder reaches past 12j
                 ladder = [(19, 38), (17, 34), (16, 32)] + ladder
             if family == 'qwen':
-                # Qwen blocks are ~333M each (20B/60); match the measured
-                # FLUX HBM budgets: bf16 ~4.7B, int8 trunk ~6.7B
-                ladder = [(20, 0), (16, 0), (12, 0)] if quant_flag \
+                # Qwen blocks are ~360M each; measured on the 16 GB chip:
+                # int8 trunk 17j=6.11B fits (1107 ms/step), 18j runtime-OOMs,
+                # 20j compile-OOMs by 306 MB; bf16 13j=4.69B fits (900 ms)
+                ladder = [(17, 0), (16, 0), (12, 0)] if quant_flag \
                     else [(13, 0), (11, 0), (9, 0), (6, 0)]
             for layers, single in ladder:
                 r = subprocess.run(
