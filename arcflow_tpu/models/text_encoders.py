@@ -72,9 +72,15 @@ class PretrainedFluxTextEncoder:
     def __init__(self, clip_path: str = 'openai/clip-vit-large-patch14',
                  t5_path: str = 'google/t5-v1_1-xxl',
                  max_sequence_length: int = 512, dtype: str = 'bfloat16',
-                 freeze: bool = True, **kwargs):
+                 freeze: bool = True,
+                 clip_tokenizer_path: Optional[str] = None,
+                 t5_tokenizer_path: Optional[str] = None, **kwargs):
         self.clip_path = clip_path
         self.t5_path = t5_path
+        # diffusers pipeline folders keep tokenizers in sibling subfolders
+        # (tokenizer/ vs text_encoder/); standalone repos keep them together
+        self.clip_tokenizer_path = clip_tokenizer_path or clip_path
+        self.t5_tokenizer_path = t5_tokenizer_path or t5_path
         self.max_sequence_length = max_sequence_length
         self.dtype = getattr(jnp, dtype)
         self._loaded = False
@@ -84,10 +90,12 @@ class PretrainedFluxTextEncoder:
             return
         tf = _require_transformers()
         _patch_flax_t5_clip(tf)
-        self.clip_tokenizer = tf.CLIPTokenizer.from_pretrained(self.clip_path)
+        self.clip_tokenizer = tf.CLIPTokenizer.from_pretrained(
+            self.clip_tokenizer_path)
         self.clip = tf.FlaxCLIPTextModel.from_pretrained(
             self.clip_path, dtype=self.dtype)
-        self.t5_tokenizer = tf.T5TokenizerFast.from_pretrained(self.t5_path)
+        self.t5_tokenizer = tf.T5TokenizerFast.from_pretrained(
+            self.t5_tokenizer_path)
         self.t5 = tf.FlaxT5EncoderModel.from_pretrained(
             self.t5_path, dtype=self.dtype)
         self._loaded = True
@@ -130,8 +138,12 @@ class PretrainedQwenImageTextEncoder:
 
     def __init__(self, pretrained: str = 'Qwen/Qwen2.5-VL-7B-Instruct',
                  pad_seq_len: Optional[int] = 512, dtype: str = 'bfloat16',
-                 freeze: bool = True, backend: str = 'flax', **kwargs):
+                 freeze: bool = True, backend: str = 'flax',
+                 tokenizer_path: Optional[str] = None, **kwargs):
         self.pretrained = pretrained
+        # diffusers pipeline folders keep the tokenizer in a sibling
+        # subfolder (tokenizer/ vs text_encoder/)
+        self.tokenizer_path = tokenizer_path or pretrained
         self.pad_seq_len = pad_seq_len
         self.dtype_name = dtype
         assert backend in ('flax', 'torch'), backend
@@ -141,7 +153,7 @@ class PretrainedQwenImageTextEncoder:
     def _load_flax(self):
         tf = _require_transformers()
         from .qwen_text import load_qwen25_text_params
-        self.tokenizer = tf.AutoTokenizer.from_pretrained(self.pretrained)
+        self.tokenizer = tf.AutoTokenizer.from_pretrained(self.tokenizer_path)
         dt = getattr(jnp, self.dtype_name)
         self.model, params = load_qwen25_text_params(self.pretrained,
                                                      dtype=dt)
@@ -165,7 +177,7 @@ class PretrainedQwenImageTextEncoder:
             return
         tf = _require_transformers()
         import torch
-        self.tokenizer = tf.AutoTokenizer.from_pretrained(self.pretrained)
+        self.tokenizer = tf.AutoTokenizer.from_pretrained(self.tokenizer_path)
         # Qwen2.5-VL checkpoints are *ForConditionalGeneration — the causal-LM
         # auto class does not map them. Try the VL class first (what
         # diffusers' QwenImagePipeline loads), fall back for text-only repos.

@@ -106,12 +106,28 @@ class ArcFluxPipeline:
     @classmethod
     def from_pretrained(cls, model_dir: str, transformer_cls=None, **kwargs):
         """Build from a local diffusers-style folder (offline; the reference
-        pulls from the HF hub)."""
+        pulls from the HF hub).
+
+        Two folder shapes are accepted:
+
+        * a *transformer* folder (config.json + safetensors) — loads the
+          DiT only; VAE/text towers come in through the constructor;
+        * a *full pipeline* folder with ``model_index.json`` — assembles
+          transformer + VAE + text encoder(s) + tokenizer(s) + scheduler
+          config in ONE call, the reference's serving entry point
+          (``ArcFluxPipeline.from_pretrained('black-forest-labs/FLUX.1-dev')``,
+          reference inference_flux.py:5-7 via diffusers' model_index
+          machinery, lakonlab/pipelines/arcflux_pipeline.py:73).
+        """
         from ..models import ArcFluxTransformer2DModel
         from ..utils.pytree import flatten
         from .convert import (expand_proj_out_to_arc_heads,
                               load_safetensors_state, torch_flux_to_flax)
         from ..utils.io_utils import get_file_backend, uri_scheme
+        if uri_scheme(model_dir) == 'local' and \
+                os.path.exists(os.path.join(model_dir, 'model_index.json')):
+            return cls._from_pipeline_folder(
+                model_dir, transformer_cls=transformer_cls, **kwargs)
         if uri_scheme(model_dir) != 'local':
             # hub/remote model folder (reference arcflow_loader.py:45-67
             # pulls the repo through the HF cache): config.json rides the
@@ -173,6 +189,97 @@ class ArcFluxPipeline:
                 f'(e.g. {missing[:3]}); shape mismatches: {bad[:3]} — wrong '
                 f'pipeline family for this folder?')
         return cls(model, tree, **kwargs)
+
+    @classmethod
+    def _from_pipeline_folder(cls, root: str, transformer_cls=None,
+                              text_encoder_kwargs: Optional[dict] = None,
+                              vae_kwargs: Optional[dict] = None, **kwargs):
+        """One-call assembly from a diffusers pipeline folder: reads
+        ``model_index.json`` and builds every declared component from its
+        subfolder — transformer, VAE (+params), text encoder(s) with their
+        tokenizer subfolders, and the scheduler's shift/dynamic-shift config.
+        Component classes dispatch on the *index entries* (e.g. an
+        ``AutoencoderKLQwenImage`` vae entry selects the Wan VAE), so either
+        pipeline class can open either family's folder."""
+        with open(os.path.join(root, 'model_index.json')) as f:
+            index = json.load(f)
+
+        def sub(name):
+            d = os.path.join(root, name)
+            return d if name in index and os.path.isdir(d) else None
+
+        # scheduler config -> timestep-sampler knobs (the reference swaps in
+        # FlowMatchEulerDiscreteScheduler(shift=3.2), inference_flux.py:14-15;
+        # explicit constructor kwargs win over the folder's config)
+        sched_dir = sub('scheduler')
+        if sched_dir is not None and 'shift' not in kwargs:
+            spath = os.path.join(sched_dir, 'scheduler_config.json')
+            if os.path.exists(spath):
+                with open(spath) as f:
+                    scfg = json.load(f)
+                if 'shift' in scfg:
+                    kwargs['shift'] = scfg['shift']
+                kwargs.setdefault('use_dynamic_shifting',
+                                  bool(scfg.get('use_dynamic_shifting',
+                                                False)))
+
+        vae_dir = sub('vae')
+        if vae_dir is not None and 'vae' not in kwargs:
+            vae_cls_name = (index.get('vae') or (None, ''))[1] or ''
+            vae, vae_params = cls._load_vae_folder(vae_dir, vae_cls_name,
+                                                   **(vae_kwargs or {}))
+            kwargs['vae'], kwargs['vae_params'] = vae, vae_params
+
+        if sub('text_encoder') is not None and 'text_encoder' not in kwargs:
+            kwargs['text_encoder'] = cls._build_text_encoder(
+                root, index, **(text_encoder_kwargs or {}))
+
+        return cls.from_pretrained(os.path.join(root, 'transformer'),
+                                   transformer_cls=transformer_cls, **kwargs)
+
+    @staticmethod
+    def _load_vae_folder(vae_dir: str, class_name: str = '', **overrides):
+        """(vae module, grafted params) from a diffusers vae/ subfolder;
+        the folder's config.json carries the architecture + latent
+        normalization constants."""
+        from ..models import PretrainedVAE, PretrainedVAEQwenImage
+        cfg = {}
+        cpath = os.path.join(vae_dir, 'config.json')
+        if os.path.exists(cpath):
+            with open(cpath) as f:
+                cfg = json.load(f)
+        if 'QwenImage' in class_name or 'Wan' in class_name:
+            keys = ('base_dim', 'z_dim', 'dim_mult', 'num_res_blocks',
+                    'latents_mean', 'latents_std')
+            vae = PretrainedVAEQwenImage(
+                from_pretrained=vae_dir, dtype='bfloat16',
+                **{**{k: cfg[k] for k in keys if k in cfg}, **overrides})
+        else:
+            keys = ('latent_channels', 'block_out_channels',
+                    'layers_per_block', 'scaling_factor', 'shift_factor',
+                    'latents_mean', 'latents_std', 'use_quant_conv',
+                    'use_post_quant_conv')
+            vae = PretrainedVAE(
+                from_pretrained=vae_dir, dtype='bfloat16',
+                **{**{k: cfg[k] for k in keys if k in cfg}, **overrides})
+        return vae, vae.init_params(jax.random.PRNGKey(0))
+
+    @staticmethod
+    def _build_text_encoder(root: str, index: dict, **overrides):
+        """Text tower(s) from the pipeline folder's text_encoder*/tokenizer*
+        subfolders; lazy — weights load on first encode call."""
+        from ..models import (PretrainedFluxTextEncoder,
+                              PretrainedQwenImageTextEncoder)
+        te_cls_name = (index.get('text_encoder') or (None, ''))[1] or ''
+        if te_cls_name.startswith('Qwen'):
+            return PretrainedQwenImageTextEncoder(
+                pretrained=os.path.join(root, 'text_encoder'),
+                tokenizer_path=os.path.join(root, 'tokenizer'), **overrides)
+        return PretrainedFluxTextEncoder(
+            clip_path=os.path.join(root, 'text_encoder'),
+            t5_path=os.path.join(root, 'text_encoder_2'),
+            clip_tokenizer_path=os.path.join(root, 'tokenizer'),
+            t5_tokenizer_path=os.path.join(root, 'tokenizer_2'), **overrides)
 
     def load_arcflow_adapter(self, adapter_path: str, rng=None):
         """Graft an exported ArcFlow adapter (heads + norm_out + LoRA) onto

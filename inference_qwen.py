@@ -43,23 +43,31 @@ def main():
     args = p.parse_args()
 
     setup_jax()
+    import os
     import jax
-    from arcflow_tpu.models import PretrainedVAEQwenImage
     from arcflow_tpu.pipelines import ArcQwenImagePipeline
 
-    vae = vae_params = None
-    if args.vae_dir:
-        vae = PretrainedVAEQwenImage(dtype='bfloat16',
-                                     from_pretrained=args.vae_dir)
-        vae_params = vae.init_params(jax.random.PRNGKey(0))
-    text_encoder = None
-    if args.prompt_embeds is None:
-        from arcflow_tpu.models import PretrainedQwenImageTextEncoder
-        text_encoder = PretrainedQwenImageTextEncoder()
-    pipe = ArcQwenImagePipeline.from_pretrained(
-        args.model_dir, text_encoder=text_encoder,
-        vae=vae, vae_params=vae_params,
-        nfe=args.nfe, temperature=args.temperature)
+    if os.path.exists(os.path.join(args.model_dir, 'model_index.json')):
+        # full diffusers pipeline folder: one-call assembly from
+        # model_index.json (reference inference_qwen.py loads the whole
+        # QwenImagePipeline repo the same way)
+        pipe = ArcQwenImagePipeline.from_pretrained(
+            args.model_dir, nfe=args.nfe, temperature=args.temperature)
+    else:
+        from arcflow_tpu.models import PretrainedVAEQwenImage
+        vae = vae_params = None
+        if args.vae_dir:
+            vae = PretrainedVAEQwenImage(dtype='bfloat16',
+                                         from_pretrained=args.vae_dir)
+            vae_params = vae.init_params(jax.random.PRNGKey(0))
+        text_encoder = None
+        if args.prompt_embeds is None:
+            from arcflow_tpu.models import PretrainedQwenImageTextEncoder
+            text_encoder = PretrainedQwenImageTextEncoder()
+        pipe = ArcQwenImagePipeline.from_pretrained(
+            args.model_dir, text_encoder=text_encoder,
+            vae=vae, vae_params=vae_params,
+            nfe=args.nfe, temperature=args.temperature)
     if args.adapter:
         pipe.load_arcflow_adapter(args.adapter)
     if args.int4 or args.w4a8:
@@ -75,11 +83,12 @@ def main():
     if args.prompt_embeds:
         import numpy as np
         prompt_embeds = dict(np.load(args.prompt_embeds))
+    has_vae = pipe.vae is not None
     out = pipe(prompt=None if prompt_embeds else [args.prompt],
                prompt_embeds=prompt_embeds,
                height=args.height, width=args.width,
-               seed=args.seed, output_type='pil' if vae else 'latent')
-    if vae:
+               seed=args.seed, output_type='pil' if has_vae else 'latent')
+    if has_vae:
         out['images'][0].save(args.out)
     else:
         import numpy as np
