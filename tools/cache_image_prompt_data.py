@@ -33,6 +33,13 @@ def main():
     p.add_argument('--width', type=int, default=1024)
     p.add_argument('--max-seq-len', type=int, default=512)
     p.add_argument('--batch', type=int, default=16)
+    p.add_argument('--clip-path', default=None,
+                   help='flux family: CLIP model/tokenizer dir or repo id '
+                        '(default: openai/clip-vit-large-patch14)')
+    p.add_argument('--t5-path', default=None,
+                   help='flux family: T5 model/tokenizer dir or repo id')
+    p.add_argument('--pretrained', default=None,
+                   help='qwen family: Qwen2.5-VL model dir or repo id')
     args = p.parse_args()
 
     import zstandard as zstd
@@ -42,11 +49,16 @@ def main():
     setup_jax()
     if args.family == 'flux':
         from arcflow_tpu.models import PretrainedFluxTextEncoder
+        enc_kw = {k: v for k, v in
+                  dict(clip_path=args.clip_path, t5_path=args.t5_path).items()
+                  if v}
         encoder = PretrainedFluxTextEncoder(
-            max_sequence_length=args.max_seq_len)
+            max_sequence_length=args.max_seq_len, **enc_kw)
     else:
         from arcflow_tpu.models import PretrainedQwenImageTextEncoder
-        encoder = PretrainedQwenImageTextEncoder(pad_seq_len=args.max_seq_len)
+        enc_kw = dict(pretrained=args.pretrained) if args.pretrained else {}
+        encoder = PretrainedQwenImageTextEncoder(
+            pad_seq_len=args.max_seq_len, **enc_kw)
 
     records = load_datalist(args.prompts)
     prompts = [r.get('prompt', r.get('name')) for r in records]
