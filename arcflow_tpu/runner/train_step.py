@@ -52,17 +52,34 @@ def build_train_step(model, optimizers: Dict[str, Any],
                      train_cfg: Optional[dict] = None,
                      ema_cfg: Optional[EmaConfig] = None,
                      grad_accum_steps: int = 1,
-                     donate: bool = True):
+                     donate: bool = True,
+                     offload_shardings=None):
     """Compile model.loss + optimizers + EMA into one step function.
 
     ``model`` must expose ``loss(trainable, frozen, rng, batch,
     running_status) -> (loss, log_vars)``. Returns
     ``train_step(state, batch) -> (state, log_vars)``.
-    """
+
+    ``offload_shardings=(device_sharding, host_sharding)`` keeps the COLD
+    per-step state — optimizer slots and the EMA copy — resident in host
+    memory (``memory_kind='pinned_host'``): the step pulls them on-device
+    right where they are consumed and pushes the updated values back, so
+    their bytes leave the HBM argument accounting (the binding term for
+    the single-chip training ceiling is arguments + temps with no overlap,
+    CLAUDE.md). The caller places ``state.opt_states``/``state.ema`` on
+    ``host_sharding`` before the first call; donation then aliases host
+    buffers to host outputs. No reference counterpart (the reference's
+    analogue is bitsandbytes 8-bit slots + `enable_model_cpu_offload`)."""
     train_cfg = dict(train_cfg or {})
     clip_cfgs = {k: GradClipConfig.from_train_cfg(train_cfg, k)
                  for k in optimizers}
     ema_cfg = ema_cfg or EmaConfig(enabled=False)
+    dev_s = host_s = None
+    if offload_shardings is not None:
+        dev_s, host_s = offload_shardings
+
+    def _put(tree, s):
+        return jax.tree.map(lambda x: jax.device_put(x, s), tree)
 
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict[str, Any]]:
         iteration = state.step
@@ -95,24 +112,32 @@ def build_train_step(model, optimizers: Dict[str, Any],
             (loss, log_vars), grads = grad_fn(state.trainable, rng_step, batch)
             log_vars = dict(loss=loss, **log_vars)
 
+        # cold state on-device only for the update itself (host offload)
+        opt_in = _put(state.opt_states, dev_s) if dev_s is not None \
+            else state.opt_states
         new_trainable = dict(state.trainable)
-        new_opt_states = dict(state.opt_states)
+        new_opt_states = dict(opt_in)
         for k, tx in optimizers.items():
             g_k, gnorm, skip = clip_and_skip(grads[k], iteration, clip_cfgs[k])
             updates, opt_state_k = tx.update(
-                g_k, state.opt_states[k], state.trainable[k])
+                g_k, opt_in[k], state.trainable[k])
             params_k = optax.apply_updates(state.trainable[k], updates)
             # branchless step-skip on NaN / skip-ratio blowup
             new_trainable[k] = select_tree(skip, state.trainable[k], params_k)
-            new_opt_states[k] = select_tree(skip, state.opt_states[k], opt_state_k)
+            new_opt_states[k] = select_tree(skip, opt_in[k], opt_state_k)
             log_vars[f'{k}_grad_norm'] = jnp.where(skip, jnp.nan, gnorm)
             log_vars[f'{k}_skipped'] = skip.astype(jnp.float32)
 
         new_ema = state.ema
         if state.ema is not None and ema_cfg.enabled:
-            new_ema = {k: ema_update(ema_cfg, state.ema[k], new_trainable[k],
+            ema_in = _put(state.ema, dev_s) if dev_s is not None else state.ema
+            new_ema = {k: ema_update(ema_cfg, ema_in[k], new_trainable[k],
                                      iteration)
                        for k in state.ema}
+        if host_s is not None:
+            new_opt_states = _put(new_opt_states, host_s)
+            if new_ema is not None:
+                new_ema = _put(new_ema, host_s)
 
         new_state = state.replace(
             step=iteration + 1, trainable=new_trainable, ema=new_ema,

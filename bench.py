@@ -375,7 +375,8 @@ def bench_vae_decode(latent=128, iters=4):
 
 
 def bench_train(layers, single_layers, latent=64, txt=512, batch=1, iters=6,
-                frozen_quant=None, optim='adamw', family='flux'):
+                frozen_quant=None, optim='adamw', family='flux',
+                offload=False):
     """One full 2-NFE distillation optimizer step on one chip: per NFE step
     a student forward + 4 CFG'd frozen-teacher queries per segment, summed
     loss, one backward, per-submodule clip with NaN skip, in-step karras EMA
@@ -505,9 +506,25 @@ def bench_train(layers, single_layers, latent=64, txt=512, batch=1, iters=6,
     # step's own args + temps + code, which the TPU sums with no
     # arg/temp overlap), but it removes dead code from the accounting.
     jax.clear_caches()
+    offload_shardings = None
+    if offload:
+        # cold state (optimizer slots + EMA) lives in the TPU host's pinned
+        # memory; the step streams it on/off-device around the update
+        from jax.sharding import SingleDeviceSharding
+        dev = jax.devices()[0]
+        dev_s = SingleDeviceSharding(dev)
+        host_s = SingleDeviceSharding(dev, memory_kind='pinned_host')
+        offload_shardings = (dev_s, host_s)
+        state = state.replace(
+            opt_states=jax.tree.map(
+                lambda x: jax.device_put(x, host_s), state.opt_states),
+            ema=jax.tree.map(lambda x: jax.device_put(x, host_s), state.ema)
+            if state.ema is not None else None)
+        jax.block_until_ready(state.opt_states)
     train_step = build_train_step(
         model, optimizers, train_cfg=model.train_cfg,
-        ema_cfg=EmaConfig(momentum_policy='karras'), donate=True)
+        ema_cfg=EmaConfig(momentum_policy='karras'), donate=True,
+        offload_shardings=offload_shardings)
     t0 = time.perf_counter()
     state, logs = train_step(state, batch_data)
     loss0 = float(logs['loss'])
@@ -864,8 +881,12 @@ def bench_sustained(fn, args, batch=1, n_images=8, latent=128):
     vae = PretrainedVAEDecoder(latent_channels=16, dtype='bfloat16')
     vae_params = jax.jit(vae.init_params, static_argnums=(1,))(
         jax.random.PRNGKey(0), latent * 8)
+    # serve uint8 (what an image server ships): 4x less readback than fp32
+    # — over the tunneled chip the per-image readback does NOT fully hide
+    # behind compute, so its size is on the measured path
     decode = jax.jit(
-        lambda p, z: jnp.clip(vae.decode(p, z) * 0.5 + 0.5, 0.0, 1.0))
+        lambda p, z: (jnp.clip(vae.decode(p, z) * 0.5 + 0.5, 0.0, 1.0)
+                      * 255.0).astype(jnp.uint8))
     params, lat, *rest = args
     # compile/warm both programs on the loop's exact layouts
     lat = fn(params, lat, *rest)
@@ -940,6 +961,13 @@ def main():
                         'runner/optim.py) — dropping the fp32 Adam m/v '
                         'pair frees ~8 bytes/trainable param of HBM for '
                         'bigger geometries')
+    p.add_argument('--offload', action='store_true',
+                   help='with --train: keep optimizer slots + EMA in the '
+                        "TPU host's pinned memory (memory_kind="
+                        "'pinned_host'), streamed on/off-device around the "
+                        'update — frees their HBM argument bytes for '
+                        'bigger geometries at the cost of per-step PCIe '
+                        'traffic')
     p.add_argument('--train', action='store_true',
                    help='benchmark the full distillation optimizer step '
                         '(10 DiT forwards + backward, clip, EMA) instead '
@@ -1071,6 +1099,13 @@ def main():
                 ladder = [(14, 28), (13, 26), (12, 24), (10, 20)]
             quant_flag = (['--frozen-int4'] if args_cli.frozen_int4 else
                           ['--frozen-int8'] if args_cli.frozen_int8 else [])
+            if args_cli.offload:
+                # opt slots + EMA leave the HBM argument accounting: the
+                # ladder starts above the measured on-device ceilings
+                quant_flag += ['--offload']
+                ladder = ([(13, 26), (12, 24), (11, 22)] + ladder
+                          if args_cli.frozen_int8 or args_cli.frozen_int4
+                          else [(9, 18), (8, 16)] + ladder)
             if args_cli.optim == 'adamw8bit' and args_cli.frozen_int4:
                 # no fp32 m/v + int4 trunk: the ladder reaches past 12j
                 ladder = [(19, 38), (17, 34), (16, 32)] + ladder
@@ -1110,9 +1145,12 @@ def main():
               'int8' if args_cli.frozen_int8 else None)
         sec, n_params = bench_train(layers, single, batch=args_cli.batch,
                                     frozen_quant=fq, optim=args_cli.optim,
-                                    family=family)
+                                    family=family,
+                                    offload=args_cli.offload)
         log(f'train step: {sec * 1000:.1f} ms')
         trunk = f', {fq} frozen trunk' if fq else ''
+        if args_cli.offload:
+            trunk += ', host-offloaded opt+EMA'
         if args_cli.optim == 'adamw8bit':
             trunk += ', adafactor (AdamW8bit slot)'
         name = ('ArcQwen' if family == 'qwen' else 'ArcFlux')
@@ -1280,13 +1318,15 @@ def main():
             else 'weight-only int4, group-128 scales' if args_cli.int4
             else 'weight-only int8, bf16 compute' if int8_mode else 'bf16')
     if (layers, single) == (19, 38):
-        # the real thing: full 12B geometry, measured end to end. The
-        # headline value is the SUSTAINED serving-loop throughput
-        # (pipelined decode + overlapped readback) when it measured; the
-        # serial p50 latency stays disclosed in the metric text.
-        if sustained_s is not None:
-            imgs_per_sec = 1.0 / sustained_s
-        sus = (f'sustained generate-N loop {sustained_s * 1000:.0f} ms/img, '
+        # the real thing: full 12B geometry, measured end to end. Headline
+        # stays the serial per-image device time (transformer + decode,
+        # chained — comparable across rounds); the sustained generate-N
+        # loop (pipelined dispatch + per-image uint8 host readback) is
+        # disclosed alongside: measured, readback does not fully hide
+        # behind compute over the tunneled chip.
+        sus = (f'sustained generate-N loop incl. per-image uint8 readback '
+               f'{sustained_s * 1000:.0f} ms/img '
+               f'({1.0 / sustained_s:.3f} img/s), '
                if sustained_s is not None else '')
         metric = ('images/sec/chip, 1024px 2-NFE e2e, FULL FLUX-12B '
                   f'geometry MEASURED on one chip ({mode}; 19j+38s blocks, '
