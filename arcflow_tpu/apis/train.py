@@ -109,10 +109,40 @@ def train_model(cfg: Config, work_dir: Optional[str] = None,
         assert samples_per_gpu % grad_accum_bs == 0
         grad_accum_steps = samples_per_gpu // grad_accum_bs
 
+    # train_cfg.offload_cold_state=True keeps optimizer slots + EMA in the
+    # TPU host's pinned memory, streamed on/off-device around the update —
+    # the single-chip capacity mode (measured: 7.96B on one 16 GB chip,
+    # README "Training throughput"). Under a mesh the cold state already
+    # shards over fsdp; offload there is not implemented (use the mesh).
+    offload_shardings = None
+    if train_cfg.pop('offload_cold_state', False):
+        if mesh is not None:
+            logger.warning('offload_cold_state ignored under a mesh: cold '
+                           'state is already fsdp-sharded')
+        elif jax.default_backend() != 'tpu':
+            # XLA:CPU silently drops output memory-space annotations, and
+            # donating a pinned_host input against a device-kind output
+            # hard-aborts the process — TPU-only feature
+            logger.warning('offload_cold_state needs a TPU backend; '
+                           'ignored')
+        else:
+            from jax.sharding import SingleDeviceSharding
+            dev = jax.devices()[0]
+            host_s = SingleDeviceSharding(dev, memory_kind='pinned_host')
+            offload_shardings = (SingleDeviceSharding(dev), host_s)
+            state = state.replace(
+                opt_states=jax.tree.map(
+                    lambda x: jax.device_put(x, host_s), state.opt_states),
+                ema=jax.tree.map(lambda x: jax.device_put(x, host_s),
+                                 state.ema)
+                if state.ema is not None else None)
+            logger.info('cold state (optimizer slots + EMA) host-offloaded')
+
     train_step = build_train_step(
         model, optimizers, train_cfg=train_cfg,
         ema_cfg=ema_config_from_cfg(cfg) if model.ema_keys else None,
-        grad_accum_steps=grad_accum_steps)
+        grad_accum_steps=grad_accum_steps,
+        offload_shardings=offload_shardings)
 
     dataset = build_dataset(data_cfg['train'])
     # The batch shards over (data, fsdp): every device computes a distinct

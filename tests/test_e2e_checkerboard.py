@@ -53,6 +53,23 @@ def test_flow_training_and_sampling(trained_flow):
     assert in_support > 0.75, f'only {in_support:.2%} of samples in support'
 
 
+def test_offload_cold_state_config_path(tmp_path):
+    """train_cfg.offload_cold_state=True runs the whole config->train path.
+    On the CPU test backend the knob must gate itself OFF (XLA:CPU drops
+    output memory-space annotations and donation against a pinned_host
+    input then hard-aborts) and still train; the actual host placement is
+    covered on-TPU by the measured bench runs + the donate=False step
+    parity test in test_trainer.py."""
+    cfg = small_flow_cfg(tmp_path, total_iters=20)
+    cfg.merge_from_dict({'train_cfg': {'offload_cold_state': True},
+                         'checkpoint_config.interval': 10})
+    cfg.work_dir = str(tmp_path / 'offload')
+    state, model = train_model(cfg, seed=0)
+    assert int(state.step) == 20
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(state.trainable))
+
+
 def test_resume_from_checkpoint(trained_flow):
     tmp_path, cfg, state, model = trained_flow
     # a fresh run with the same work_dir must resume from the saved iter 3000
