@@ -133,6 +133,15 @@ class ArcFluxPipeline:
             # pulls the repo through the HF cache): config.json rides the
             # same backend as the weights
             backend = get_file_backend(model_dir)
+            mi_uri = backend.join_path(model_dir, 'model_index.json')
+            if backend.exists(mi_uri):
+                raise NotImplementedError(
+                    f'{model_dir} is a FULL pipeline repo (model_index.'
+                    f'json); full-pipeline assembly needs a local folder — '
+                    f'download it, then from_pretrained(<local_dir>) '
+                    f'assembles transformer + VAE + text towers + '
+                    f'scheduler in one call. Remote URIs load transformer '
+                    f'folders only.')
             cfg_uri = backend.join_path(model_dir, 'config.json')
             cfg = json.loads(backend.get(cfg_uri)) \
                 if backend.exists(cfg_uri) else {}

@@ -336,7 +336,7 @@ def try_bench_qwen(num_layers, iters=8, batch=1, int8=False, w8a8=False,
         out = fn(variables, out, txt, mask)
     _ = float(jnp.sum(out.astype(jnp.float32)))
     per_image = (time.perf_counter() - t0) / iters / batch
-    return per_image, n_params
+    return per_image, n_params, (fn, (variables, out, txt, mask))
 
 
 def bench_qwen_vae_decode(latent=128, iters=4):
@@ -864,7 +864,8 @@ def try_bench(layers, single_layers, iters=8, mesh=None, batch=1,
     return per_image, n_params, (fn, (params, out, txt, pooled, g))
 
 
-def bench_sustained(fn, args, batch=1, n_images=8, latent=128):
+def bench_sustained(fn, args, batch=1, n_images=8, latent=128,
+                    family='flux'):
     """Sustained serving throughput (VERDICT r04 weak #2): a pipelined
     generate-N loop — dispatch transformer(i+1) and decode(i) before the
     host readback of image i-1, so host readback/postprocess (12.6 MB/image
@@ -877,10 +878,16 @@ def bench_sustained(fn, args, batch=1, n_images=8, latent=128):
     Returns seconds/image including the VAE decode and the amortized
     host readback of every decoded image."""
     import numpy as np
-    from arcflow_tpu.models import PretrainedVAEDecoder
-    vae = PretrainedVAEDecoder(latent_channels=16, dtype='bfloat16')
-    vae_params = jax.jit(vae.init_params, static_argnums=(1,))(
-        jax.random.PRNGKey(0), latent * 8)
+    if family == 'qwen':
+        from arcflow_tpu.models import PretrainedVAEQwenImage
+        vae = PretrainedVAEQwenImage(dtype='bfloat16')
+        vae_params = jax.jit(vae.init_params, static_argnums=(1,))(
+            jax.random.PRNGKey(0), 64)
+    else:
+        from arcflow_tpu.models import PretrainedVAEDecoder
+        vae = PretrainedVAEDecoder(latent_channels=16, dtype='bfloat16')
+        vae_params = jax.jit(vae.init_params, static_argnums=(1,))(
+            jax.random.PRNGKey(0), latent * 8)
     # serve uint8 (what an image server ships): 4x less readback than fp32
     # — over the tunneled chip the per-image readback does NOT fully hide
     # behind compute, so its size is on the measured path
@@ -1187,7 +1194,7 @@ def main():
                 [(d, dict(int8=True)) for d in (44, 40, 36, 32)]
         for depth, mode_kw in attempts:
             try:
-                per_img, n_params = try_bench_qwen(
+                per_img, n_params, qloop = try_bench_qwen(
                     depth, batch=args_cli.batch, **mode_kw)
                 break
             except Exception as e:  # noqa: BLE001 - OOM fallback
@@ -1198,6 +1205,18 @@ def main():
                 metric='images/sec/chip 1024px 2-NFE Qwen', value=0.0,
                 unit='img/s', vs_baseline=0.0)))
             return
+        qsustained = None
+        try:
+            qsustained = bench_sustained(qloop[0], qloop[1],
+                                         batch=args_cli.batch,
+                                         family='qwen')
+            log(f'qwen sustained serving loop: {qsustained * 1000:.1f} '
+                f'ms/image ({1.0 / qsustained:.3f} img/s incl. decode + '
+                f'readback)')
+        except Exception as e:   # noqa: BLE001 - HBM headroom fallback
+            log(f'qwen sustained bench failed ({type(e).__name__}: '
+                f'{str(e)[:200]}); reporting serial only')
+        del qloop   # frees the transformer tree before the VAE bench
         try:
             vae_decode_s = bench_qwen_vae_decode()
             log(f'Qwen VAE decode (1024px): {vae_decode_s * 1000:.1f} ms')
@@ -1216,10 +1235,13 @@ def main():
         geom = ('FULL 20B geometry MEASURED' if depth == 60 else
                 f'{depth}/60 joint blocks, 20B-geometry extrapolation '
                 f'{1.0 / e2e_20b:.3f} img/s')
+        qsus = (f'; sustained generate-N loop incl. per-image uint8 '
+                f'readback {qsustained * 1000:.0f} ms/img'
+                if qsustained is not None else '')
         metric = ('images/sec/chip, 1024px 2-NFE Qwen-Image e2e (ArcQwen '
                   f'{n_params / 1e9:.2f}B params {mode}, masked flash '
                   f'attention, + Wan VAE decode '
-                  f'{vae_decode_s * 1000:.0f}ms; {geom})')
+                  f'{vae_decode_s * 1000:.0f}ms; {geom}{qsus})')
         log(f'qwen per-image: {per_img * 1000:.1f} ms; e2e: '
             f'{e2e * 1000:.1f} ms; 20B extrapolated: '
             f'{e2e_20b * 1000:.1f} ms')

@@ -253,3 +253,22 @@ def test_inference_flux_cli_full_folder(tmp_path, tok_files, monkeypatch):
     from PIL import Image
     img = Image.open(out)
     assert img.size == (64, 64)
+
+
+def test_remote_full_pipeline_uri_raises_helpfully(tmp_path):
+    """A hub URI pointing at a full pipeline repo (model_index.json) must
+    fail with guidance, not silently load it as a transformer folder."""
+    from arcflow_tpu.pipelines import ArcFluxPipeline
+    from arcflow_tpu.utils import io_utils
+    from test_from_pretrained import _FakeHubBackend
+    d = tmp_path / 'repo'
+    d.mkdir()
+    with open(d / 'model_index.json', 'w') as f:
+        json.dump({'_class_name': 'FluxPipeline'}, f)
+    io_utils.register_backend('huggingface', _FakeHubBackend(str(d)))
+    try:
+        with pytest.raises(NotImplementedError, match='model_index'):
+            ArcFluxPipeline.from_pretrained('huggingface://org/repo')
+    finally:
+        io_utils.register_backend('huggingface', io_utils.HuggingFaceBackend)
+        io_utils._BACKENDS.pop('huggingface', None)
