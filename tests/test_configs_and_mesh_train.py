@@ -19,6 +19,7 @@ ALL_CONFIGS = [
     'flux/arcflux_2nfe_k16_int4trunk.py',
     'toy/checkerboard_arcflow_2nfe_moe.py',
     'qwen/arcqwen_2nfe_k16.py',
+    'qwen/arcqwen_2nfe_k16_int8trunk.py',
     'imagenet/imagenet256_flow.py',
 ]
 
