@@ -1311,7 +1311,13 @@ def main():
     # throughput a generate-N server actually sees; the transformer tree
     # must still be live, so this runs before the standalone decode bench
     sustained_s = None
-    if mesh is None:
+    # batch 1 only: at --batch 2 the loop's decode temps OOM on top of the
+    # 11.6 GB int8 tree, and the in-process OOM then poisons the device
+    # for the standalone VAE bench (CLAUDE.md). Batch 2 is also a measured
+    # NEGATIVE for throughput here: 1030 ms/image transformer vs 841 at
+    # batch 1 (the 4608-token seq already saturates the MXU; doubling the
+    # batch doubles HBM pressure past the sweet spot).
+    if mesh is None and args_cli.batch == 1:
         try:
             sustained_s = bench_sustained(loop[0], loop[1],
                                           batch=args_cli.batch)
