@@ -700,8 +700,8 @@ def bench_aot_infer(mesh_axes, latent=128, txt=512, sp_mode='ulysses',
 
     Roofline model (assumptions recorded in the artifact):
       * compute: the MEASURED single-chip transformer per-image time
-        (841.0 ms FLUX w8a8 / 1069 ms Qwen w4a8, post-RoPE/flash-block
-        tuning, full geometry) divided by the axes that
+        (817.0 ms FLUX w8a8 post-splash-attention / 1069 ms Qwen w4a8,
+        full geometry) divided by the axes that
         partition compute for batch 1 — 'tensor' x 'sp' (fsdp only shards
         storage at batch 1);
       * comm: per-chip collective bytes from the optimized HLO (SPMD module
@@ -747,7 +747,7 @@ def bench_aot_infer(mesh_axes, latent=128, txt=512, sp_mode='ulysses',
             encoder_hidden_states=jnp.zeros((b, txt, 3584), jnp.bfloat16),
             encoder_hidden_states_mask=mask)
     else:
-        single_chip_ms = single_chip_ms or 841.0
+        single_chip_ms = single_chip_ms or 817.0
         quant_fn, mode = quantize_weights_int8, 'w8a8'
         model = ArcFluxTransformer2DModel(
             patch_size=2, num_gaussians=16, in_channels=64,
