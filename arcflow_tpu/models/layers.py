@@ -528,7 +528,9 @@ def _splash_call(q: Array, k: Array, v: Array) -> Array:
     (B1 S4608 H24 D128, blocks (1536, 1536, 768); bigger blocks
     compile-OOM VMEM). Serving-only: routed under ``act_quant_active()``
     so training and masked paths keep the flash kernel (its backward
-    blocks are tuned there); e2e win measured on the w8a8 program."""
+    blocks are tuned there; on the masked/segment-ids Qwen path splash
+    measured 2.084 vs flash 2.094 ms — a tie, not worth a second masked
+    code path); e2e win measured on the w8a8 program (841 -> 817 ms)."""
     b, s, h, d = q.shape
     scale = 1.0 / (d ** 0.5)
     kernel = _splash_kernel(s, h)
