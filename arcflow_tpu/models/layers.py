@@ -550,8 +550,8 @@ def _flash_call(q: Array, k: Array, v: Array,
     with no S x S mask materialization. This is what puts Qwen's 60
     masked joint blocks on the tuned kernel instead of generic XLA.
     """
-    from ..utils.quantize import act_quant_active
-    if kv_valid is None and act_quant_active():
+    from ..utils.quantize import serving_active
+    if kv_valid is None and serving_active():
         return _splash_call(q, k, v)
     from jax.experimental.pallas.ops.tpu.flash_attention import \
         BlockSizes, SegmentIds, flash_attention

@@ -436,8 +436,15 @@ class ArcFluxPipeline:
             override['temperature'] = temperature
         override = tuple(sorted(override.items()))
 
-        latents = self._sample_jit(self.transformer_params, rng, latents,
-                                   override, **embeds)
+        # the sampling program is forward-only: trace it under the serving
+        # flag so forward-optimized kernels (splash attention) engage
+        from ..utils.quantize import set_serving
+        set_serving(True)
+        try:
+            latents = self._sample_jit(self.transformer_params, rng, latents,
+                                       override, **embeds)
+        finally:
+            set_serving(False)
         if self.vae is None or output_type == 'latent':
             return dict(latents=latents)
         imgs = self._decode_jit(self.vae_params, latents)

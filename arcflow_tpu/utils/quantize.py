@@ -50,6 +50,24 @@ def act_quant_active() -> bool:
     return _ACT_QUANT
 
 
+# trace-time serving flag: forward-only programs (no backward will ever be
+# taken) may choose forward-optimized kernels — e.g. splash attention in
+# models/layers.py, which has no tuned backward here. Pipelines and the
+# bench inference paths set it; training never does. act_quant implies
+# serving (training never runs quantized activations).
+_SERVING = False
+
+
+def set_serving(enabled: bool) -> None:
+    """Mark the program about to be traced as forward-only serving."""
+    global _SERVING
+    _SERVING = bool(enabled)
+
+
+def serving_active() -> bool:
+    return _SERVING or _ACT_QUANT
+
+
 def quantize_weights_int8(params: Dict, min_size: int = 2 ** 16
                           ) -> Tuple[Dict, Dict]:
     """(params) -> (params with big kernels as int8, 'quant' scale tree).

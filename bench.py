@@ -48,6 +48,8 @@ def build(num_layers, num_single_layers, latent=128, txt=512, k=16,
     from arcflow_tpu.models import ArcFluxTransformer2DModel
     from arcflow_tpu.diffusion import (ArcFlowPolicy, ContinuousTimeStepSampler,
                                        momentum_integration)
+    from arcflow_tpu.utils.quantize import set_serving
+    set_serving(True)   # forward-only program: splash attention engages
     model = ArcFluxTransformer2DModel(
         patch_size=2, num_gaussians=k, in_channels=64,
         num_layers=num_layers, num_single_layers=num_single_layers,
@@ -213,6 +215,8 @@ def build_qwen(num_layers, latent=128, txt=512, k=16, batch=1,
     from arcflow_tpu.models import ArcQwenImageTransformer2DModel
     from arcflow_tpu.diffusion import (ArcFlowPolicy, ContinuousTimeStepSampler,
                                        momentum_integration)
+    from arcflow_tpu.utils.quantize import set_serving
+    set_serving(True)   # forward-only program (masked path keeps flash)
     model = ArcQwenImageTransformer2DModel(
         patch_size=2, num_gaussians=k, in_channels=64,
         num_layers=num_layers, attention_head_dim=128,
