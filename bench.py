@@ -704,7 +704,7 @@ def bench_aot_infer(mesh_axes, latent=128, txt=512, sp_mode='ulysses',
 
     Roofline model (assumptions recorded in the artifact):
       * compute: the MEASURED single-chip transformer per-image time
-        (817.0 ms FLUX w8a8 post-splash-attention / 1069 ms Qwen w4a8,
+        (817.0 ms FLUX w8a8 post-splash-attention / 1045 ms Qwen w4a8,
         full geometry) divided by the axes that
         partition compute for batch 1 — 'tensor' x 'sp' (fsdp only shards
         storage at batch 1);
@@ -734,9 +734,9 @@ def bench_aot_infer(mesh_axes, latent=128, txt=512, sp_mode='ulysses',
     set_act_quant(True)
     b = 1
     if family == 'qwen':
-        # measured single-chip w4a8 (README "serving throughput"): 1159 ms
-        # e2e incl. ~90 ms Wan-VAE decode -> ~1069 ms transformer
-        single_chip_ms = single_chip_ms or 1069.0
+        # measured single-chip w4a8 (README "serving throughput"):
+        # 1157 ms e2e incl. 112 ms Wan-VAE decode -> 1045 ms transformer
+        single_chip_ms = single_chip_ms or 1045.0
         quant_fn, mode = quantize_weights_int4, 'w4a8'
         model = ArcQwenImageTransformer2DModel(
             patch_size=2, num_gaussians=16, in_channels=64, num_layers=60,
