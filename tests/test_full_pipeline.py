@@ -207,6 +207,10 @@ def test_flux_full_pipeline_folder(tmp_path, tok_files):
     assert imgs.shape == (1, 64, 64, 3)
     assert np.isfinite(imgs).all()
     assert imgs.min() >= 0.0 and imgs.max() <= 1.0
+    # the forward-only serving flag must not leak past the sampling call
+    # (a later training trace in this process must keep the flash kernel)
+    from arcflow_tpu.utils.quantize import serving_active
+    assert not serving_active()
 
 
 def test_flux_explicit_kwargs_beat_folder(tmp_path, tok_files):
